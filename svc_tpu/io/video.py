@@ -1,0 +1,189 @@
+"""Video file access for the encoder/decoder apps.
+
+Replaces the reference's ``cv::VideoCapture`` input (apps/encoder.cpp:192-204)
+and its GUI display output (libs/decoder.cpp:151-218, which has no file
+output path) with dependency-gated readers/writers:
+
+* any container/codec via OpenCV's ``VideoCapture`` when ``cv2`` is
+  importable (optional — the framework never uses OpenCV for compute),
+* ``.npy`` — a ``(frames, height, width, 3)`` uint8 BGR array,
+* ``.y4m`` — YUV4MPEG2 with C444 or Cmono colorspace (pure-Python parser).
+
+All readers yield uint8 BGR ``(H, W, 3)`` frames, the same pixel layout the
+reference consumes from OpenCV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from svc_tpu.config import VideoProperties
+
+try:  # optional, used only for container decode, never for compute
+    import cv2  # type: ignore
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+
+def _yuv444_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 full-range YUV->BGR (inverse of the encoder's BGR2YUV)."""
+    yf = y.astype(np.float32)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    r = yf + 1.403 * vf
+    g = yf - 0.344 * uf - 0.714 * vf
+    b = yf + 1.773 * uf
+    bgr = np.stack([b, g, r], axis=-1)
+    return np.clip(np.rint(bgr), 0, 255).astype(np.uint8)
+
+
+class VideoReader:
+    """Iterate uint8 BGR frames from a file path."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._frames: Optional[np.ndarray] = None
+        self._cap = None
+        self._y4m = None
+
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            if arr.ndim == 3:
+                arr = np.repeat(arr[..., None], 3, axis=-1)
+            if arr.ndim != 4 or arr.shape[-1] != 3:
+                raise ValueError(
+                    f"expected (T, H, W, 3) uint8 array in {path}, got "
+                    f"{arr.shape}"
+                )
+            self._frames = np.ascontiguousarray(arr.astype(np.uint8))
+            t, h, w, _ = self._frames.shape
+            self.props = VideoProperties(frame_w=w, frame_h=h, frame_count=t)
+        elif path.endswith(".y4m"):
+            self._y4m = _Y4MReader(path)
+            self.props = self._y4m.props
+        else:
+            if not _HAS_CV2:
+                raise RuntimeError(
+                    "failed to initialize video capturing: OpenCV (cv2) is "
+                    "not available; use a .npy or .y4m input instead"
+                )
+            self._cap = cv2.VideoCapture(path)
+            if not self._cap.isOpened():
+                raise RuntimeError("failed to initialize video capturing")
+            self.props = VideoProperties(
+                frame_w=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                frame_h=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            )
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self._frames is not None:
+            yield from self._frames
+        elif self._y4m is not None:
+            yield from self._y4m
+        else:
+            while True:
+                ok, frame = self._cap.read()
+                if not ok:
+                    return
+                yield frame
+
+    def close(self) -> None:
+        if self._cap is not None:
+            self._cap.release()
+        if self._y4m is not None:
+            self._y4m.close()
+
+
+@dataclasses.dataclass
+class _Y4MHeader:
+    width: int
+    height: int
+    colorspace: str
+
+
+class _Y4MReader:
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        line = self._f.readline().decode("ascii", "replace").strip()
+        if not line.startswith("YUV4MPEG2"):
+            raise ValueError(f"not a y4m file: {path}")
+        w = h = 0
+        cs = "420"
+        for tok in line.split()[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("C"):
+                cs = tok[1:]
+        if cs not in ("444", "mono"):
+            raise ValueError(
+                f"unsupported y4m colorspace C{cs}; use C444 or Cmono"
+            )
+        self.hdr = _Y4MHeader(w, h, cs)
+        # frame count requires a scan; do it once (files are seekable)
+        plane = w * h
+        self._frame_bytes = plane * (3 if cs == "444" else 1)
+        start = self._f.tell()
+        count = 0
+        while True:
+            fl = self._f.readline()
+            if not fl:
+                break
+            if not fl.startswith(b"FRAME"):
+                break
+            self._f.seek(self._frame_bytes, 1)
+            count += 1
+        self._f.seek(start)
+        self.props = VideoProperties(frame_w=w, frame_h=h, frame_count=count)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        w, h = self.hdr.width, self.hdr.height
+        while True:
+            fl = self._f.readline()
+            if not fl or not fl.startswith(b"FRAME"):
+                return
+            raw = self._f.read(self._frame_bytes)
+            if len(raw) < self._frame_bytes:
+                return
+            if self.hdr.colorspace == "mono":
+                y = np.frombuffer(raw, np.uint8).reshape(h, w)
+                yield np.repeat(y[..., None], 3, axis=-1)
+            else:
+                planes = np.frombuffer(raw, np.uint8).reshape(3, h, w)
+                yield _yuv444_to_bgr(planes[0], planes[1], planes[2])
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def write_npy_video(path: str, frames: np.ndarray) -> None:
+    """Write decoded frames as a ``(T, H, W, 3)`` uint8 BGR array."""
+    np.save(path, np.asarray(frames, dtype=np.uint8))
+
+
+def write_y4m_video(path: str, frames_bgr: np.ndarray) -> None:
+    """Write uint8 BGR frames as C444 y4m (full-range BT.601)."""
+    frames_bgr = np.asarray(frames_bgr, dtype=np.uint8)
+    t, h, w, _ = frames_bgr.shape
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C444\n".encode())
+        for frame in frames_bgr:
+            b = frame[..., 0].astype(np.float32)
+            g = frame[..., 1].astype(np.float32)
+            r = frame[..., 2].astype(np.float32)
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            u = 0.492 * (b - y) + 128.0
+            v = 0.877 * (r - y) + 128.0
+            planes = np.stack([y, u, v])
+            f.write(b"FRAME\n")
+            f.write(
+                np.clip(np.rint(planes), 0, 255).astype(np.uint8).tobytes()
+            )
