@@ -1,0 +1,361 @@
+"""Block-matching motion estimation (EBMA / HBMA), TPU-native.
+
+Re-implements the reference's motion layer (libs/motion.cpp) as batched,
+static-shape JAX transforms:
+
+* ``ebma`` — exhaustive block matching, all blocks searched simultaneously
+  (reference: ``EstimateMotionExhaustiveSearch`` libs/motion.cpp:268-340).
+* ``refine`` — one hierarchical refinement pass around propagated MVs
+  (reference: ``RefineHierMotionEst`` libs/motion.cpp:342-410 and its SSE2
+  specializations libs/motion.cpp:552-689).
+* ``hbma`` — the full hierarchical pyramid search. One code path covers both
+  the generic ``EstimateMotionHierarchical`` (libs/motion.cpp:412-465) and
+  the fixed 4-level/16x16 SSE2 flavor ``EstimateMotionHierarchical16x16Sse2``
+  (libs/motion.cpp:691-749), which is the same algorithm with pinned
+  parameters.
+* global-motion estimators (average / exhaustive / hierarchical), declared
+  in the reference but unused by its apps
+  (reference: libs/motion.cpp:45-142).
+
+Design: instead of the reference's per-block scalar loops with SSE2 MAD
+kernels (``_mm_sad_epu8``, libs/motion.cpp:472-550), every candidate
+displacement is evaluated for *all* blocks at once as a whole-frame absolute
+difference + per-block reduction (VPU-shaped work). Candidates are visited
+in the reference's raster scan order under ``lax.scan``, carrying exactly
+the sequential update state, which preserves the reference's observable
+semantics bit-for-bit:
+
+* EBMA updates on ``mad <= min`` (last-wins ties, libs/motion.cpp:324);
+  refinement updates on strict ``mad < min`` (first-wins ties,
+  libs/motion.cpp:401) — quirk Q8;
+* EBMA resets an MV to zero when every candidate in its (clamped) search
+  area updated the running min — the flat-region heuristic
+  (libs/motion.cpp:312-338) — quirk Q6;
+* refinement carries ``min_mad`` across pyramid levels rather than
+  resetting it (libs/motion.cpp:443-463).
+
+Conventions: frames are ``(H, W)`` uint8 luma planes; a motion field is
+``(mfh, mfw, 2)`` float32 with ``[..., 0] = x`` and ``[..., 1] = y``
+(anchor -> tracked, backwards estimation); ``min_mad`` is ``(mfh, mfw)``
+float32 initialized to FLT_MAX.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FLT_MAX = float(np.finfo(np.float32).max)
+
+
+def _candidate_offsets(search_range: int) -> np.ndarray:
+    """All displacements in raster order: y ascending, then x ascending."""
+    r = search_range
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    return np.stack([dy.ravel(), dx.ravel()], axis=-1).astype(np.int32)
+
+
+def _block_sums(plane: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarray:
+    """Sum an ``(H, W)`` int array over non-overlapping blocks."""
+    h, w = plane.shape
+    return plane.reshape(h // block_h, block_h, w // block_w, block_w).sum(
+        axis=(1, 3)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "block_w", "block_h"))
+def ebma(
+    tracked: jnp.ndarray,
+    anchor: jnp.ndarray,
+    search_range: int,
+    block_w: int,
+    block_h: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exhaustive block-matching over a symmetric search range.
+
+    Returns ``(mv_field, min_mad)``. Semantics match
+    ``EstimateMotionExhaustiveSearch`` (libs/motion.cpp:268-340) including
+    the ``<=`` tie-break and the flat-region zero-MV reset.
+    """
+    fh, fw = tracked.shape
+    assert fh % block_h == 0 and fw % block_w == 0
+    mfh, mfw = fh // block_h, fw // block_w
+    area = float(block_w * block_h)
+    r = search_range
+
+    anchor_i = anchor.astype(jnp.int32)
+    # Pad once; each candidate is a static-size dynamic slice of this.
+    tracked_pad = jnp.pad(
+        tracked.astype(jnp.int32), ((r, r), (r, r)), constant_values=0
+    )
+
+    offsets = jnp.asarray(_candidate_offsets(r))
+
+    # Per-block anchor top-left coordinates.
+    by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
+    bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
+
+    def step(state, d):
+        mv, min_mad, update_count, valid_count = state
+        dy, dx = d[0], d[1]
+        cand = jax.lax.dynamic_slice(tracked_pad, (r + dy, r + dx), (fh, fw))
+        sad = _block_sums(jnp.abs(cand - anchor_i), block_w, block_h)
+        mad = sad.astype(jnp.float32) * (1.0 / area)
+
+        # candidate tracked block must lie fully inside the frame
+        valid = (
+            (by + dy >= 0)
+            & (by + dy <= fh - block_h)
+            & (bx + dx >= 0)
+            & (bx + dx <= fw - block_w)
+        )
+        update = valid & (mad <= min_mad)
+        mv = jnp.where(
+            update[..., None],
+            jnp.stack(
+                [
+                    jnp.broadcast_to(dx, (mfh, mfw)),
+                    jnp.broadcast_to(dy, (mfh, mfw)),
+                ],
+                axis=-1,
+            ).astype(jnp.float32),
+            mv,
+        )
+        min_mad = jnp.where(update, mad, min_mad)
+        update_count = update_count + update.astype(jnp.int32)
+        valid_count = valid_count + valid.astype(jnp.int32)
+        return (mv, min_mad, update_count, valid_count), None
+
+    init = (
+        jnp.zeros((mfh, mfw, 2), jnp.float32),
+        jnp.full((mfh, mfw), _FLT_MAX, jnp.float32),
+        jnp.zeros((mfh, mfw), jnp.int32),
+        jnp.zeros((mfh, mfw), jnp.int32),
+    )
+    (mv, min_mad, update_count, valid_count), _ = jax.lax.scan(
+        step, init, offsets
+    )
+
+    # flat-region heuristic: every candidate in the search area improved the
+    # running min -> uniform texture -> zero MV (libs/motion.cpp:333-338)
+    flat = update_count == valid_count
+    mv = jnp.where(flat[..., None], 0.0, mv)
+    return mv, min_mad
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "block_w", "block_h"))
+def refine(
+    tracked: jnp.ndarray,
+    anchor: jnp.ndarray,
+    search_range: int,
+    block_w: int,
+    block_h: int,
+    mv_field: jnp.ndarray,
+    min_mad: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One hierarchical refinement pass around propagated MVs.
+
+    Searches ``+-search_range`` around each block's propagated position,
+    updating only on strictly smaller MAD and carrying ``min_mad`` in from
+    the previous pyramid level (``RefineHierMotionEst``,
+    libs/motion.cpp:342-410).
+    """
+    fh, fw = tracked.shape
+    assert fh % block_h == 0 and fw % block_w == 0
+    mfh, mfw = fh // block_h, fw // block_w
+    area = float(block_w * block_h)
+    r = search_range
+
+    anchor_i = anchor.astype(jnp.int32)
+    tracked_i = tracked.astype(jnp.int32)
+
+    by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
+    bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
+
+    # propagated tracked-block position; MVs hold exact integers so C
+    # std::round (libs/math.hpp:15-18, 236-241) is plain rounding
+    mv_round = jnp.round(mv_field).astype(jnp.int32)
+    py = by + mv_round[..., 1]
+    px = bx + mv_round[..., 0]
+
+    # per-pixel shift amount for the gather: pixel (y, x) in block (iy, ix)
+    # reads tracked[y + mvy(block) + ey, x + mvx(block) + ex]
+    yy = jnp.arange(fh, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(fw, dtype=jnp.int32)[None, :]
+    mvy_px = jnp.repeat(
+        jnp.repeat(mv_round[..., 1], block_h, axis=0), block_w, axis=1
+    )
+    mvx_px = jnp.repeat(
+        jnp.repeat(mv_round[..., 0], block_h, axis=0), block_w, axis=1
+    )
+
+    offsets = jnp.asarray(_candidate_offsets(r))
+
+    def step(state, e):
+        mv, best = state
+        ey, ex = e[0], e[1]
+        gy = jnp.clip(yy + mvy_px + ey, 0, fh - 1)
+        gx = jnp.clip(xx + mvx_px + ex, 0, fw - 1)
+        cand = tracked_i[gy, gx]
+        sad = _block_sums(jnp.abs(cand - anchor_i), block_w, block_h)
+        mad = sad.astype(jnp.float32) * (1.0 / area)
+
+        valid = (
+            (py + ey >= 0)
+            & (py + ey <= fh - block_h)
+            & (px + ex >= 0)
+            & (px + ex <= fw - block_w)
+        )
+        update = valid & (mad < best)
+        new_mv = jnp.stack(
+            [(px + ex - bx).astype(jnp.float32), (py + ey - by).astype(jnp.float32)],
+            axis=-1,
+        )
+        mv = jnp.where(update[..., None], new_mv, mv)
+        best = jnp.where(update, mad, best)
+        return (mv, best), None
+
+    (mv, best), _ = jax.lax.scan(step, (mv_field, min_mad), offsets)
+    return mv, best
+
+
+def hbma(
+    tracked_pyramid: Sequence[jnp.ndarray],
+    anchor_pyramid: Sequence[jnp.ndarray],
+    search_range: int,
+    block_w: int,
+    block_h: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical block matching over a Gaussian pyramid.
+
+    The top level runs EBMA with range ``search_range / 2**(L-1)`` on
+    ``2**(L-1)``-times-smaller blocks; every lower level doubles the MVs and
+    refines around them with the *same* top-level range
+    (``EstimateMotionHierarchical``, libs/motion.cpp:412-465). With
+    ``L=4, block 16x16`` this is also exactly
+    ``EstimateMotionHierarchical16x16Sse2`` (libs/motion.cpp:691-749).
+
+    Args:
+      tracked_pyramid / anchor_pyramid: lists of luma planes, level 0 = base.
+      block_w/block_h: base-level block dims.
+
+    Returns ``(mv_field, min_mad)`` at base-level block granularity.
+    """
+    level_count = len(tracked_pyramid)
+    factor = 1 << (level_count - 1)
+    if search_range < factor:
+        raise ValueError(
+            "search range must be >= the top level reduction factor"
+        )
+    top_range = search_range // factor
+
+    mv, min_mad = ebma(
+        tracked_pyramid[-1],
+        anchor_pyramid[-1],
+        top_range,
+        block_w // factor,
+        block_h // factor,
+    )
+
+    for lvl in range(level_count - 2, -1, -1):
+        scale = 1 << lvl
+        mv = mv * 2.0
+        mv, min_mad = refine(
+            tracked_pyramid[lvl],
+            anchor_pyramid[lvl],
+            top_range,
+            block_w // scale,
+            block_h // scale,
+            mv,
+            min_mad,
+        )
+    return mv, min_mad
+
+
+# ---------------------------------------------------------------------------
+# Global-motion estimators (public in the reference, unused by its apps;
+# RANSAC — the one the encoder actually uses — lives in ops/ransac.py)
+# ---------------------------------------------------------------------------
+
+
+def estimate_global_motion_avg(motion_field: jnp.ndarray) -> jnp.ndarray:
+    """Mean MV of the field (``EstimateGlobalMotionAvg``,
+    libs/motion.cpp:45-53; the reference's incremental mean is numerically
+    a running average of the same quantity)."""
+    return jnp.mean(motion_field.reshape(-1, 2), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("search_range",))
+def estimate_global_motion_exhaustive(
+    tracked: jnp.ndarray, anchor: jnp.ndarray, search_range: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-frame EBMA with clipped overlap regions.
+
+    For each displacement the MAD is computed over the clipped overlap of
+    the two frames; strict ``<`` keeps the first minimum in raster order
+    (``EstimateGlobalMotionExhaustiveSearch``, libs/motion.cpp:55-99).
+
+    Returns ``(global_motion, min_mad)``.
+    """
+    fh, fw = tracked.shape
+    r = search_range
+    a = anchor.astype(jnp.int32)
+    t = tracked.astype(jnp.int32)
+    tp = jnp.pad(t, ((r, r), (r, r)), constant_values=0)
+
+    yy = jnp.arange(fh)[:, None]
+    xx = jnp.arange(fw)[None, :]
+    offsets = jnp.asarray(_candidate_offsets(r))
+
+    def step(state, d):
+        gm, best = state
+        dy, dx = d[0], d[1]
+        # anchor-coordinate overlap: the tracked block spans
+        # [max(0,d), fh+min(0,d)) in tracked coords (libs/motion.cpp:72-88),
+        # which is [max(0,-d), fh-max(0,d)) back in anchor coords
+        cand = jax.lax.dynamic_slice(tp, (r + dy, r + dx), (fh, fw))
+        inside = (
+            (yy >= jnp.maximum(0, -dy))
+            & (yy < fh - jnp.maximum(0, dy))
+            & (xx >= jnp.maximum(0, -dx))
+            & (xx < fw - jnp.maximum(0, dx))
+        )
+        # anchor pixel = tracked pixel shifted back by d
+        diff = jnp.where(inside, jnp.abs(cand - a), 0)
+        count = jnp.sum(inside)
+        mad = jnp.sum(diff).astype(jnp.float32) / count.astype(jnp.float32)
+        update = mad < best
+        gm = jnp.where(update, jnp.array([dx, dy], jnp.float32), gm)
+        best = jnp.where(update, mad, best)
+        return (gm, best), None
+
+    init = (jnp.zeros(2, jnp.float32), jnp.float32(_FLT_MAX))
+    (gm, best), _ = jax.lax.scan(step, init, offsets)
+    return gm, best
+
+
+def estimate_global_motion_hierarchical(
+    tracked_pyramid: Sequence[jnp.ndarray],
+    anchor_pyramid: Sequence[jnp.ndarray],
+    base_search_range: int,
+) -> jnp.ndarray:
+    """Pyramid global-motion search (``EstimateGlobalMotionHierarchical``,
+    libs/motion.cpp:101-142): top level searched at the reduced range, each
+    lower level doubles the estimate and adds a +-1 corrective search
+    (which the reference centers at zero displacement, not at the
+    propagated estimate — replicated)."""
+    level_count = len(tracked_pyramid)
+    factor = 1 << (level_count - 1)
+    gm, _ = estimate_global_motion_exhaustive(
+        tracked_pyramid[-1], anchor_pyramid[-1], base_search_range // factor
+    )
+    for lvl in range(level_count - 2, -1, -1):
+        corrective, _ = estimate_global_motion_exhaustive(
+            tracked_pyramid[lvl], anchor_pyramid[lvl], 1
+        )
+        gm = 2.0 * gm + corrective
+    return gm
