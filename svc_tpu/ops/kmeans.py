@@ -1,0 +1,161 @@
+"""K-means clustering of foreground motion features, on-device.
+
+Replaces the encoder's ``cv::kmeans(features, k, ..., attempts,
+KMEANS_PP_CENTERS)`` call (reference: libs/encoder.cpp:557-578) with a
+jitted, static-shape implementation:
+
+* k-means++ (D^2-weighted) seeding via ``jax.random`` categorical sampling,
+* Lloyd iterations as one-hot matmuls (MXU-shaped assignment + update),
+* OpenCV's termination rule — stop when the squared center shift drops to
+  ``epsilon**2`` or ``max_iter`` is reached (TermCriteria COUNT|EPS,
+  libs/encoder.cpp:572-575) — realized as a fixed-trip loop with frozen
+  updates after convergence (static shapes for jit),
+* OpenCV-style empty-cluster repair: an empty cluster is re-seeded to the
+  point farthest from its assigned center,
+* multiple attempts scored by compactness (sum of squared distances), best
+  attempt returned — matching the ``attempts`` semantics.
+
+Validity masking: the number of foreground blocks is data-dependent, but
+shapes under jit must be static, so the feature array always has mv-field
+size and a boolean mask marks real points. Invalid points get label -1.
+
+Determinism: the reference inherits OpenCV's RNG (quirk Q7); here seeding
+takes an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+def _plus_plus_init(
+    key: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """k-means++ seeding: D^2-weighted sampling over valid points."""
+    n = x.shape[0]
+    k0, key = jax.random.split(key)
+    # first center: uniform over valid points
+    logits0 = jnp.where(mask, 0.0, -jnp.inf)
+    first = jax.random.categorical(k0, logits0)
+    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+
+    def body(i, carry):
+        centers, d2, key = carry
+        d2 = jnp.minimum(
+            d2, jnp.sum((x - centers[i - 1]) ** 2, axis=-1)
+        )
+        kk, key = jax.random.split(key)
+        w = jnp.where(mask, d2, 0.0)
+        # if all residual weights vanish (fewer distinct points than k),
+        # fall back to uniform over valid points
+        w = jnp.where(jnp.sum(w) > 0, w, jnp.where(mask, 1.0, 0.0))
+        logits = jnp.log(jnp.maximum(w, 1e-37)) + jnp.where(mask, 0.0, -jnp.inf)
+        idx = jax.random.categorical(kk, logits)
+        centers = centers.at[i].set(x[idx])
+        return centers, d2, key
+
+    centers, _, _ = jax.lax.fori_loop(
+        1, k, body, (centers0, jnp.full((n,), _BIG), key)
+    )
+    return centers
+
+
+def _assign(x: jnp.ndarray, centers: jnp.ndarray, mask: jnp.ndarray):
+    d2 = (
+        jnp.sum(x**2, axis=-1, keepdims=True)
+        - 2.0 * x @ centers.T
+        + jnp.sum(centers**2, axis=-1)[None, :]
+    )
+    labels = jnp.argmin(d2, axis=-1)
+    point_d2 = jnp.take_along_axis(d2, labels[:, None], axis=-1)[:, 0]
+    point_d2 = jnp.where(mask, jnp.maximum(point_d2, 0.0), 0.0)
+    return labels, point_d2
+
+
+def _lloyd_attempt(
+    key: jnp.ndarray,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    max_iter: int,
+    epsilon: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    centers = _plus_plus_init(key, x, mask, k)
+    maskf = mask.astype(x.dtype)
+
+    def iteration(carry, _):
+        centers, done = carry
+        labels, point_d2 = _assign(x, centers, mask)
+        onehot = (
+            jax.nn.one_hot(labels, k, dtype=x.dtype) * maskf[:, None]
+        )
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ x
+        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+
+        # empty-cluster repair: move each empty cluster onto the currently
+        # farthest valid point (one per empty cluster)
+        def fix(i, state):
+            cters, d2left = state
+            empty = counts[i] == 0
+            far = jnp.argmax(jnp.where(mask, d2left, -1.0))
+            cters = jnp.where(empty, cters.at[i].set(x[far]), cters)
+            d2left = jnp.where(empty, d2left.at[far].set(-1.0), d2left)
+            return cters, d2left
+
+        new_centers, _ = jax.lax.fori_loop(
+            0, k, fix, (new_centers, point_d2)
+        )
+
+        shift2 = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=-1))
+        new_done = done | (shift2 <= epsilon**2)
+        centers = jnp.where(done, centers, new_centers)
+        return (centers, new_done), None
+
+    (centers, _), _ = jax.lax.scan(
+        iteration, (centers, jnp.bool_(False)), None, length=max_iter
+    )
+    labels, point_d2 = _assign(x, centers, mask)
+    compactness = jnp.sum(point_d2)
+    return labels, centers, compactness
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "attempts", "max_iter", "epsilon")
+)
+def kmeans(
+    features: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    key: jnp.ndarray,
+    attempts: int = 3,
+    max_iter: int = 10,
+    epsilon: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cluster valid feature rows into ``k`` groups.
+
+    Args:
+      features: ``(N, D)`` float32.
+      mask: ``(N,)`` bool validity (foreground blocks).
+      k: cluster count (static; the caller mirrors the reference's
+        ``min(cluster_count, fg_count)`` clamp, libs/encoder.cpp:557-559).
+
+    Returns:
+      ``(labels, centers, compactness)`` — labels ``(N,)`` int32 in
+      ``[0, k)`` for valid rows and -1 elsewhere.
+    """
+    keys = jax.random.split(key, attempts)
+    labels_a, centers_a, compact_a = jax.vmap(
+        lambda kk: _lloyd_attempt(
+            kk, features, mask, k, max_iter, float(epsilon)
+        )
+    )(keys)
+    best = jnp.argmin(compact_a)
+    labels = jnp.where(mask, labels_a[best], -1)
+    return labels.astype(jnp.int32), centers_a[best], compact_a[best]

@@ -1,0 +1,88 @@
+"""Blockwise DCT/IDCT and quantization tests (oracle: cv2.dct/idct)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from svc_tpu.ops.dct import dct2_blockwise, dct_matrix, idct2_blockwise
+from svc_tpu.ops.quant import block_quant_steps, quantize, round_half_away
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _blockwise_cv_dct(plane, bw, bh, inverse=False):
+    out = plane.copy()
+    for y in range(0, plane.shape[0], bh):
+        for x in range(0, plane.shape[1], bw):
+            blk = plane[y : y + bh, x : x + bw]
+            out[y : y + bh, x : x + bw] = (
+                cv2.idct(blk) if inverse else cv2.dct(blk)
+            )
+    return out
+
+
+class TestDct:
+    def test_dct_matrix_orthonormal(self):
+        d = dct_matrix(8)
+        np.testing.assert_allclose(d @ d.T, np.eye(8), atol=1e-6)
+
+    @pytest.mark.parametrize("bw,bh", [(8, 8), (4, 8), (8, 4)])
+    def test_forward_matches_opencv(self, bw, bh):
+        rng = np.random.default_rng(0)
+        plane = rng.uniform(0, 255, (16, 24)).astype(np.float32)
+        ref = _blockwise_cv_dct(plane, bw, bh)
+        got = np.asarray(dct2_blockwise(jnp.asarray(plane), bw, bh))
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_inverse_matches_opencv(self):
+        rng = np.random.default_rng(1)
+        coeffs = rng.uniform(-500, 500, (16, 16)).astype(np.float32)
+        ref = _blockwise_cv_dct(coeffs, 8, 8, inverse=True)
+        got = np.asarray(idct2_blockwise(jnp.asarray(coeffs), 8, 8))
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_roundtrip_identity(self):
+        rng = np.random.default_rng(2)
+        plane = rng.uniform(0, 255, (32, 32)).astype(np.float32)
+        coeffs = dct2_blockwise(jnp.asarray(plane), 8, 8)
+        back = np.asarray(idct2_blockwise(coeffs, 8, 8))
+        np.testing.assert_allclose(back, plane, atol=1e-3)
+
+    def test_batched_channels(self):
+        rng = np.random.default_rng(3)
+        planes = rng.uniform(0, 255, (3, 16, 16)).astype(np.float32)
+        got = np.asarray(dct2_blockwise(jnp.asarray(planes), 8, 8))
+        for c in range(3):
+            single = np.asarray(dct2_blockwise(jnp.asarray(planes[c]), 8, 8))
+            np.testing.assert_array_equal(got[c], single)
+
+    def test_dc_coefficient_is_scaled_block_mean(self):
+        plane = np.full((8, 8), 100.0, np.float32)
+        coeffs = np.asarray(dct2_blockwise(jnp.asarray(plane), 8, 8))
+        assert abs(coeffs[0, 0] - 800.0) < 1e-3  # mean * N for orthonormal
+        assert np.abs(coeffs).sum() - abs(coeffs[0, 0]) < 1e-3
+
+
+class TestQuant:
+    def test_round_half_away_from_zero(self):
+        x = jnp.asarray([0.5, -0.5, 2.5, -2.5, 1.2, -1.2])
+        np.testing.assert_array_equal(
+            np.asarray(round_half_away(x)), [1, -1, 3, -3, 1, -1]
+        )
+
+    def test_quantize_matches_scalar_semantics(self):
+        coeffs = jnp.asarray([637.0, -637.0, 319.9, 320.0])
+        got = np.asarray(quantize(coeffs, jnp.float32(640)))
+        np.testing.assert_array_equal(got, [640, -640, 0, 640])
+
+    def test_step_one_identity_after_round(self):
+        coeffs = jnp.asarray([1.4, -1.6, 0.5])
+        got = np.asarray(quantize(coeffs, jnp.float32(1)))
+        np.testing.assert_array_equal(got, [1, -2, 1])
+
+    def test_block_quant_steps(self):
+        types = jnp.asarray([[0, 3], [1, 0]], jnp.uint32)
+        gazed = jnp.asarray([[False, False], [True, True]])
+        steps = np.asarray(block_quant_steps(types, gazed, 2, 640))
+        np.testing.assert_array_equal(steps, [[640, 2], [1, 1]])

@@ -1,0 +1,168 @@
+"""Tests for morphology, k-means, and connected components."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svc_tpu.ops import morphology
+from svc_tpu.ops.ccl import connected_components
+from svc_tpu.ops.kmeans import kmeans
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _rand_mask(h, w, p=0.4, seed=0):
+    return np.random.default_rng(seed).random((h, w)) < p
+
+
+class TestMorphology:
+    @pytest.mark.parametrize("kw,kh", [(3, 3), (3, 5), (5, 3)])
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_close_open_matches_opencv(self, kw, kh, seed):
+        mask = _rand_mask(17, 23, seed=seed)
+        u8 = mask.astype(np.uint8) * 255
+        se = cv2.getStructuringElement(cv2.MORPH_RECT, (kw, kh))
+        ref = cv2.morphologyEx(u8, cv2.MORPH_CLOSE, se)
+        ref = cv2.morphologyEx(ref, cv2.MORPH_OPEN, se)
+        got = morphology.close_then_open(jnp.asarray(mask), kw, kh)
+        np.testing.assert_array_equal(
+            np.asarray(got), ref.astype(bool)
+        )
+
+    def test_dilate_erode_match_opencv(self):
+        mask = _rand_mask(12, 15, seed=2)
+        u8 = mask.astype(np.uint8) * 255
+        se = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3))
+        np.testing.assert_array_equal(
+            np.asarray(morphology.dilate(jnp.asarray(mask), 3, 3)),
+            cv2.dilate(u8, se).astype(bool),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(morphology.erode(jnp.asarray(mask), 3, 3)),
+            cv2.erode(u8, se).astype(bool),
+        )
+
+    def test_batched(self):
+        masks = np.stack([_rand_mask(8, 8, seed=s) for s in range(3)])
+        got = np.asarray(morphology.close(jnp.asarray(masks), 3, 3))
+        for i in range(3):
+            single = np.asarray(morphology.close(jnp.asarray(masks[i]), 3, 3))
+            np.testing.assert_array_equal(got[i], single)
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("connectivity", [4, 8])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_opencv(self, connectivity, seed):
+        mask = _rand_mask(15, 20, p=0.45, seed=seed)
+        labels, count = connected_components(jnp.asarray(mask), connectivity)
+        labels = np.asarray(labels)
+        ref_count, ref_labels = cv2.connectedComponents(
+            mask.astype(np.uint8) * 255, connectivity=connectivity
+        )
+        assert int(count) == ref_count
+        if connectivity == 4:
+            # OpenCV's 4-way SAUF numbers components in raster order of
+            # first pixel — identical to our canonical numbering
+            np.testing.assert_array_equal(labels, ref_labels)
+        else:
+            # 8-way BBDT numbering is block-order; require identical
+            # partitions (bijection between label sets)
+            assert labels.shape == ref_labels.shape
+            pairs = {(int(a), int(b)) for a, b in
+                     zip(labels.ravel(), ref_labels.ravel())}
+            assert len(pairs) == ref_count
+            assert len({a for a, _ in pairs}) == ref_count
+            assert len({b for _, b in pairs}) == ref_count
+
+    def test_empty_mask(self):
+        labels, count = connected_components(jnp.zeros((4, 6), bool), 4)
+        assert int(count) == 1  # background only, like cv2
+        np.testing.assert_array_equal(np.asarray(labels), 0)
+
+    def test_full_mask_single_component(self):
+        labels, count = connected_components(jnp.ones((4, 6), bool), 4)
+        assert int(count) == 2
+        np.testing.assert_array_equal(np.asarray(labels), 1)
+
+    def test_diagonal_distinguishes_connectivity(self):
+        mask = jnp.asarray(np.eye(5, dtype=bool))
+        _, c4 = connected_components(mask, 4)
+        _, c8 = connected_components(mask, 8)
+        assert int(c4) == 6  # five isolated cells + background
+        assert int(c8) == 2  # one diagonal chain + background
+
+    def test_invalid_connectivity(self):
+        with pytest.raises(ValueError):
+            connected_components(jnp.zeros((2, 2), bool), 6)
+
+
+class TestKMeans:
+    def test_recovers_separated_clusters(self):
+        rng = np.random.default_rng(0)
+        c0 = rng.normal((0, 0, 0, 0), 0.3, (40, 4))
+        c1 = rng.normal((20, 0, 0, 0), 0.3, (40, 4))
+        c2 = rng.normal((0, 20, 20, 0), 0.3, (40, 4))
+        x = np.concatenate([c0, c1, c2]).astype(np.float32)
+        mask = np.ones(120, bool)
+        labels, centers, compact = kmeans(
+            jnp.asarray(x), jnp.asarray(mask), 3, jax.random.key(0)
+        )
+        labels = np.asarray(labels)
+        # each ground-truth group maps to exactly one cluster id
+        groups = [labels[:40], labels[40:80], labels[80:]]
+        ids = [np.unique(g) for g in groups]
+        assert all(len(i) == 1 for i in ids)
+        assert len({int(i[0]) for i in ids}) == 3
+        assert float(compact) < 120 * 4 * 0.5
+
+    def test_masked_points_excluded(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1, (50, 4)).astype(np.float32)
+        x[40:] += 1000  # invalid rows far away
+        mask = np.ones(50, bool)
+        mask[40:] = False
+        labels, centers, _ = kmeans(
+            jnp.asarray(x), jnp.asarray(mask), 2, jax.random.key(0)
+        )
+        labels = np.asarray(labels)
+        assert (labels[40:] == -1).all()
+        assert np.abs(np.asarray(centers)).max() < 10
+
+    def test_deterministic_under_key(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (60, 4)).astype(np.float32)
+        mask = np.ones(60, bool)
+        a = kmeans(jnp.asarray(x), jnp.asarray(mask), 4, jax.random.key(3))
+        b = kmeans(jnp.asarray(x), jnp.asarray(mask), 4, jax.random.key(3))
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_fewer_points_than_clusters(self):
+        x = np.zeros((10, 4), np.float32)
+        x[0] = (1, 0, 0, 0)
+        x[1] = (0, 1, 0, 0)
+        mask = np.zeros(10, bool)
+        mask[:2] = True
+        labels, _, _ = kmeans(
+            jnp.asarray(x), jnp.asarray(mask), 5, jax.random.key(0)
+        )
+        labels = np.asarray(labels)
+        assert (labels[2:] == -1).all()
+        assert set(labels[:2]) <= set(range(5))
+
+    def test_compactness_comparable_to_opencv(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 5, (200, 4)).astype(np.float32)
+        mask = np.ones(200, bool)
+        _, _, compact = kmeans(
+            jnp.asarray(x), jnp.asarray(mask), 8, jax.random.key(0),
+            attempts=3, max_iter=10, epsilon=1.0,
+        )
+        crit = (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 10, 1.0)
+        ref_compact, _, _ = cv2.kmeans(
+            x, 8, None, crit, 3, cv2.KMEANS_PP_CENTERS
+        )
+        # same ballpark as OpenCV's result (RNGs differ; quirk Q7)
+        assert float(compact) < ref_compact * 1.3
