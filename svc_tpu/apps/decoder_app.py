@@ -1,0 +1,177 @@
+"""Decoder CLI.
+
+Flag surface mirrors the reference decoder app (#options,
+apps/decoder.cpp:34-40) with defaults from #default-cfg
+(apps/decoder.cpp:21-26). Reads the bitstream from stdin (or ``--input``).
+
+The reference is display-only with mouse-driven gaze
+(libs/decoder.cpp:151-218); this app is headless-first:
+
+  --output PATH        write decoded uint8 BGR frames (.npy or .y4m);
+                       defaults to out.npy
+  --input PATH         read the bitstream from a file instead of stdin
+  --gaze X,Y           static gaze position in original-frame pixels
+  --gaze-trajectory F  text file with one "frame_index x y" row per line
+  --batch-size N       frames per compiled device step (default 8)
+  --show 1             display frames in an OpenCV window with live mouse
+                       gaze (requires cv2), emulating the reference GUI
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from svc_tpu.config import DecoderConfig, validate_decoder_config
+from svc_tpu.io import bitstream
+from svc_tpu.io.video import write_npy_video, write_y4m_video
+from svc_tpu.models.decoder import Decoder
+from svc_tpu.utils import cli
+
+
+class _AppConfig:
+    def __init__(self):
+        self.decoder = DecoderConfig()
+        self.input: Optional[str] = None
+        self.output = "out.npy"
+        self.gaze: Optional[str] = None
+        self.gaze_trajectory: Optional[str] = None
+        self.batch_size = 8
+        self.show = 0
+
+
+def _opts(c: _AppConfig) -> List[cli.Opt]:
+    d = c.decoder
+    U, I, S = cli.OptArgType.UINT, cli.OptArgType.INT, cli.OptArgType.STRING
+    fs = cli.field_setter
+    return [
+        cli.Opt("foreground-quant-step", U, fs(d, "foreground_quant_step")),
+        cli.Opt("background-quant-step", U, fs(d, "background_quant_step")),
+        cli.Opt("max-gaze-rect-w", U, fs(d, "max_gaze_rect_w")),
+        cli.Opt("max-gaze-rect-h", U, fs(d, "max_gaze_rect_h")),
+        # framework extensions
+        cli.Opt("input", S, fs(c, "input")),
+        cli.Opt("output", S, fs(c, "output")),
+        cli.Opt("gaze", S, fs(c, "gaze")),
+        cli.Opt("gaze-trajectory", S, fs(c, "gaze_trajectory")),
+        cli.Opt("batch-size", U, fs(c, "batch_size")),
+        cli.Opt("show", I, fs(c, "show")),
+    ]
+
+
+def _parse_gazes(
+    cfg: _AppConfig, frame_count: int
+) -> List[Optional[Tuple[int, int]]]:
+    gazes: List[Optional[Tuple[int, int]]] = [None] * frame_count
+    if cfg.gaze:
+        parts = cfg.gaze.replace(",", " ").split()
+        pos = (int(parts[0]), int(parts[1]))
+        gazes = [pos] * frame_count
+    if cfg.gaze_trajectory:
+        table: Dict[int, Tuple[int, int]] = {}
+        with open(cfg.gaze_trajectory) as f:
+            for line in f:
+                fields = line.replace(",", " ").split()
+                if len(fields) >= 3:
+                    table[int(fields[0])] = (int(fields[1]), int(fields[2]))
+        last: Optional[Tuple[int, int]] = None
+        for i in range(frame_count):
+            last = table.get(i, last)
+            gazes[i] = last
+    return gazes
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    cfg = _AppConfig()
+
+    status, _ = cli.parse_opts(argv, _opts(cfg))
+    if status != cli.Status.OK:
+        print(
+            f"parsing config: parsing options: {cli.status_message(status)}",
+            file=sys.stderr,
+        )
+        return 1
+
+    err = validate_decoder_config(cfg.decoder)
+    if not err.ok:
+        print(f"validating config: {err.message}", file=sys.stderr)
+        return 1
+
+    stream = open(cfg.input, "rb") if cfg.input else sys.stdin.buffer
+    raw_header = stream.read(bitstream.HEADER_SIZE)
+    if len(raw_header) < bitstream.HEADER_SIZE:
+        print("failed to read header", file=sys.stderr)
+        return 1
+    header = bitstream.Header.unpack(raw_header)
+    try:
+        header.validate()
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    decoder = Decoder(cfg.decoder, header, batch_size=cfg.batch_size)
+
+    if cfg.show:
+        return _run_gui(cfg, decoder, stream, header)
+
+    gazes = _parse_gazes(cfg, header.frame_count)
+    frames = list(
+        decoder.decode_frames(
+            bitstream.read_frames(stream, header), iter(gazes)
+        )
+    )
+    video = (
+        np.stack(frames)
+        if frames
+        else np.zeros((0, header.frame_h, header.frame_w, 3), np.uint8)
+    )
+    if cfg.output.endswith(".y4m"):
+        write_y4m_video(cfg.output, video)
+    else:
+        write_npy_video(cfg.output, video)
+    print(f"decoded {len(frames)} frames -> {cfg.output}", file=sys.stderr)
+    return 0
+
+
+def _run_gui(cfg, decoder, stream, header) -> int:
+    """Interactive display with live mouse gaze — the reference's GUI mode
+    (libs/decoder.cpp:151-216). Requires OpenCV."""
+    try:
+        import cv2
+    except ImportError:
+        print("--show requires OpenCV (cv2)", file=sys.stderr)
+        return 1
+
+    window = "Decoded Video"
+    cv2.namedWindow(window)
+    mouse = {"x": 0, "y": 0}
+
+    def on_mouse(event, x, y, flags, _param):
+        if event == cv2.EVENT_MOUSEMOVE:
+            mouse["x"], mouse["y"] = x, y
+
+    cv2.setMouseCallback(window, on_mouse)
+
+    def gaze_stream():
+        for _ in range(header.frame_count):
+            yield (mouse["x"], mouse["y"])
+
+    decoder.batch_size = 1  # latency over throughput in GUI mode
+    decoder._decode_batch = __import__("jax").jit(
+        decoder._build_decode_batch()
+    )
+    for frame in decoder.decode_frames(
+        bitstream.read_frames(stream, header), gaze_stream()
+    ):
+        cv2.imshow(window, frame)
+        if cv2.waitKey(1) >= 0:
+            break
+    cv2.destroyAllWindows()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

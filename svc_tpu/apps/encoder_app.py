@@ -1,0 +1,166 @@
+"""Encoder CLI.
+
+Flag surface mirrors the reference encoder app (#options,
+apps/encoder.cpp:75-104) — all flags are always available (the reference
+compiles ``mv-block-w/h`` and ``pyr-lvl-count`` out of its SSE2 build,
+apps/encoder.cpp:76-80; this framework has no such pinned build). Defaults
+match #default-cfg (apps/encoder.cpp:28-65). The bitstream goes to stdout
+(or ``--output``); diagnostics go to stderr.
+
+Extensions beyond the reference surface:
+  --output PATH     write the bitstream to a file instead of stdout
+  --batch-size N    frames per compiled device step (default 8)
+  --seed N          PRNG seed for RANSAC/k-means (reference used
+                    nondeterministic RNG, quirk Q7)
+  --reference-compat N   1 reproduces the reference's k-means feature bug (Q1)
+  --visualize DIR   dump per-stage visualization frames to DIR (the
+                    encoder-visualizer build flavor, libs/CMakeLists.txt:13-15)
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from svc_tpu.config import EncoderConfig, VideoProperties
+from svc_tpu.config import validate_encoder_config
+from svc_tpu.io.video import VideoReader
+from svc_tpu.models.encoder import Encoder
+from svc_tpu.runtime.pipeline import BoundedQueue, pipeline_threads
+from svc_tpu.utils import cli
+
+
+class _AppConfig:
+    def __init__(self):
+        self.encoder = EncoderConfig()
+        self.verbose = 1
+        self.video_path: Optional[str] = None
+        self.output: Optional[str] = None
+        self.batch_size = 8
+        self.visualize: Optional[str] = None
+
+
+def _opts(c: _AppConfig) -> List[cli.Opt]:
+    e = c.encoder
+    U, F, I, S = (
+        cli.OptArgType.UINT,
+        cli.OptArgType.FLOAT,
+        cli.OptArgType.INT,
+        cli.OptArgType.STRING,
+    )
+    fs = cli.field_setter
+    return [
+        cli.Opt("mv-block-w", U, fs(e, "mv_block_w")),
+        cli.Opt("mv-block-h", U, fs(e, "mv_block_h")),
+        cli.Opt("pyr-lvl-count", U, fs(e, "pyr_lvl_count")),
+        cli.Opt("mv-search-range", U, fs(e, "mv_search_range")),
+        cli.Opt("ransac-subset-sz", U, fs(e.ransac, "subset_sz")),
+        cli.Opt("ransac-inlier-thresh", F, fs(e.ransac, "inlier_thresh")),
+        cli.Opt("ransac-success-prob", F, fs(e.ransac, "success_prob")),
+        cli.Opt("ransac-inlier-ratio", F, fs(e.ransac, "inlier_ratio")),
+        cli.Opt("morph-rect-w", U, fs(e, "morph_rect_w")),
+        cli.Opt("morph-rect-h", U, fs(e, "morph_rect_h")),
+        cli.Opt("kmeans-cluster-count", U, fs(e.kmeans, "cluster_count")),
+        cli.Opt("kmeans-attempt-count", U, fs(e.kmeans, "attempt_count")),
+        cli.Opt("kmeans-max-iter-count", U, fs(e.kmeans, "max_iter_count")),
+        cli.Opt("kmeans-epsilon", F, fs(e.kmeans, "epsilon")),
+        cli.Opt(
+            "connected-components-connectivity",
+            U,
+            fs(e, "connected_components_connectivity"),
+        ),
+        cli.Opt("transform-block-w", U, fs(e, "transform_block_w")),
+        cli.Opt("transform-block-h", U, fs(e, "transform_block_h")),
+        cli.Opt("verbose", I, fs(c, "verbose")),
+        # framework extensions
+        cli.Opt("seed", U, fs(e, "seed")),
+        cli.Opt(
+            "reference-compat",
+            I,
+            lambda v: setattr(e, "reference_compat", bool(v)),
+        ),
+        cli.Opt("output", S, fs(c, "output")),
+        cli.Opt("batch-size", U, fs(c, "batch_size")),
+        cli.Opt("visualize", S, fs(c, "visualize")),
+    ]
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    cfg = _AppConfig()
+
+    status, argi = cli.parse_opts(argv, _opts(cfg))
+    if status != cli.Status.OK:
+        print(
+            f"parsing configuration: parsing options: "
+            f"{cli.status_message(status)}",
+            file=sys.stderr,
+        )
+        return 1
+
+    if len(argv) < argi + 1:
+        print(
+            "parsing configuration: missing video path argument",
+            file=sys.stderr,
+        )
+        return 1
+    cfg.video_path = argv[argi]
+
+    err = validate_encoder_config(cfg.encoder)
+    if not err.ok:
+        print(f"validating configuration: {err.message}.", file=sys.stderr)
+        return 1
+
+    try:
+        reader = VideoReader(cfg.video_path)
+    except (RuntimeError, ValueError, FileNotFoundError) as e:
+        print(str(e) or "failed to initialize video capturing",
+              file=sys.stderr)
+        return 1
+    props: VideoProperties = reader.props
+
+    if cfg.verbose:
+        print("Video properties:", file=sys.stderr)
+        print(f"  Width: {props.frame_w}", file=sys.stderr)
+        print(f"  Height: {props.frame_h}", file=sys.stderr)
+        print(f"  Frame count: {props.frame_count}", file=sys.stderr)
+
+    encoder = Encoder(cfg.encoder, props, batch_size=cfg.batch_size)
+
+    out = (
+        open(cfg.output, "wb") if cfg.output else sys.stdout.buffer
+    )
+
+    if cfg.visualize:
+        from svc_tpu.visualize import VisualizingEncoder
+
+        encoder = VisualizingEncoder(encoder, cfg.visualize)
+
+    try:
+        # 3-stage pipeline: reader thread -> encode (main) -> writer thread
+        # (the reference's thread layout, apps/encoder.cpp:223-228)
+        def produce(q: BoundedQueue) -> None:
+            for frame in reader:
+                q.push(frame)
+
+        def consume(q: BoundedQueue) -> None:
+            def write_all(wq: BoundedQueue) -> None:
+                for chunk in encoder.encode_video(iter(q)):
+                    wq.push(chunk)
+
+            def drain(wq: BoundedQueue) -> None:
+                for chunk in wq:
+                    out.write(chunk)
+
+            pipeline_threads(write_all, drain, capacity=10)
+
+        pipeline_threads(produce, consume, capacity=10)
+    finally:
+        if cfg.output:
+            out.close()
+        reader.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,26 @@ class Header:
             raise ValueError("failed to read header")
         return cls(*struct.unpack(_HEADER_FMT, data[:HEADER_SIZE]))
 
+    def validate(self) -> None:
+        """Sanity-check a header read from an untrusted stream (the
+        reference trusts raw struct bytes, apps/decoder.cpp:106-111)."""
+        if not (0 < self.frame_w <= 1 << 16 and 0 < self.frame_h <= 1 << 16):
+            raise ValueError("invalid header: bad frame dimensions")
+        if not (0 <= self.frame_excess_w <= 1 << 16
+                and 0 <= self.frame_excess_h <= 1 << 16):
+            raise ValueError("invalid header: bad frame excess")
+        if not (0 < self.transform_block_w <= 256
+                and 0 < self.transform_block_h <= 256):
+            raise ValueError("invalid header: bad transform block dims")
+        if self.padded_frame_w % self.transform_block_w != 0 or (
+            self.padded_frame_h % self.transform_block_h != 0
+        ):
+            raise ValueError(
+                "invalid header: padded dims not divisible by block dims"
+            )
+        if not (1 <= self.channel_count <= 4):
+            raise ValueError("invalid header: bad channel count")
+
     @property
     def padded_frame_w(self) -> int:
         return self.frame_w + self.frame_excess_w

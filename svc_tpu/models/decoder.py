@@ -1,0 +1,197 @@
+"""The decoder pipeline: gaze/region-adaptive dequantization + IDCT.
+
+Implements the reference decoder's per-frame loop
+(reference: libs/decoder.cpp:151-216) as a batched jitted transform:
+
+    per-block quant step (gaze rect / block type) -> quantize -> IDCT
+    -> merge channels -> resize to the original frame size
+
+The reference is display-only (``cv::imshow``; no file output exists) and
+reads the gaze position from the mouse (libs/decoder.cpp:53-63). This
+decoder is headless-first: it returns frames, and gaze comes from an
+explicit per-frame position (the apps accept a static position or a
+trajectory file; a GUI mode is available when OpenCV is importable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svc_tpu.config import DecoderConfig
+from svc_tpu.io import bitstream
+from svc_tpu.ops.dct import idct2_blockwise
+from svc_tpu.ops.quant import block_quant_steps, quantize
+from svc_tpu.ops.resize import resize_bilinear
+from svc_tpu.utils.mathx import round_half_away_from_zero
+
+
+def gaze_rect_from_center(
+    cx: int, cy: int, max_w: int, max_h: int, frame_w: int, frame_h: int
+) -> Tuple[int, int, int, int]:
+    """Clamp a gaze rectangle centered at (cx, cy) inside the frame.
+
+    Exact semantics of ``CalcWithinFrameRectFromCenter``
+    (libs/decoder.cpp:65-100): the half extents shrink so the rect stays
+    within bounds. Returns ``(x, y, w, h)``.
+    """
+    cx = min(max(cx, 0), frame_w - 1)
+    cy = min(max(cy, 0), frame_h - 1)
+
+    half_w = (max_w + 1) // 2
+    if cx + half_w >= frame_w:
+        half_w = frame_w - cx - 1
+    if cx < half_w:
+        half_w = cx
+
+    half_h = (max_h + 1) // 2
+    if cy + half_h >= frame_h:
+        half_h = frame_h - cy - 1
+    if cy < half_h:
+        half_h = cy
+
+    return cx - half_w, cy - half_h, 2 * half_w, 2 * half_h
+
+
+class Decoder:
+    """Batched bitstream decoder.
+
+    Args:
+      cfg: validated ``DecoderConfig``.
+      header: bitstream header.
+      batch_size: frames decoded per compiled step.
+    """
+
+    def __init__(
+        self,
+        cfg: DecoderConfig,
+        header: bitstream.Header,
+        batch_size: int = 8,
+    ):
+        self.cfg = cfg
+        self.header = header
+        self.batch_size = batch_size
+        self._decode_batch = jax.jit(self._build_decode_batch())
+
+    def _build_decode_batch(self):
+        cfg = self.cfg
+        h = self.header
+        pw, ph = h.padded_frame_w, h.padded_frame_h
+        tbw, tbh = h.transform_block_w, h.transform_block_h
+
+        def decode_batch(
+            coeffs: jnp.ndarray,  # (T, C, PH, PW) float32
+            block_types: jnp.ndarray,  # (T, nby, nbx) uint32
+            gaze_rects: jnp.ndarray,  # (T, 4) int32 — padded space (x,y,w,h)
+        ) -> jnp.ndarray:
+            nby, nbx = ph // tbh, pw // tbw
+            # block top-left coordinates in padded space
+            bys = jnp.arange(nby, dtype=jnp.int32)[:, None] * tbh
+            bxs = jnp.arange(nbx, dtype=jnp.int32)[None, :] * tbw
+
+            def per_frame(c, types, rect):
+                rx, ry, rw, rh = rect[0], rect[1], rect[2], rect[3]
+                # cv::Rect::contains: x <= px < x + w (libs/decoder.cpp:201)
+                gazed = (
+                    (bxs >= rx)
+                    & (bxs < rx + rw)
+                    & (bys >= ry)
+                    & (bys < ry + rh)
+                )
+                steps = block_quant_steps(
+                    types,
+                    gazed,
+                    cfg.foreground_quant_step,
+                    cfg.background_quant_step,
+                )
+                # expand per-block steps to pixel granularity
+                steps_px = jnp.repeat(
+                    jnp.repeat(steps, tbh, axis=0), tbw, axis=1
+                )
+                deq = quantize(c, steps_px[None, :, :])
+                planes = idct2_blockwise(deq, tbw, tbh)
+                frame = jnp.moveaxis(planes, 0, -1)  # (PH, PW, C), BGR
+                # display path: /255, bilinear resize to original size,
+                # imshow (libs/decoder.cpp:208-211); the /255 and the
+                # implicit *255 of display cancel — resize in 0..255 space
+                out = resize_bilinear(frame, h.frame_h, h.frame_w)
+                return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+            return jax.vmap(per_frame)(coeffs, block_types, gaze_rects)
+
+        return decode_batch
+
+    # ------------------------------------------------------------------
+
+    def padded_gaze_rect(
+        self, gaze: Optional[Tuple[int, int]]
+    ) -> Tuple[int, int, int, int]:
+        """Gaze rect in padded space (libs/decoder.cpp:174-183), or a
+        degenerate empty rect when no gaze position is given (the
+        reference's zero-initialized mouse state behaves the same)."""
+        h = self.header
+        if gaze is None:
+            return (0, 0, 0, 0)
+        rect = gaze_rect_from_center(
+            gaze[0],
+            gaze[1],
+            self.cfg.max_gaze_rect_w,
+            self.cfg.max_gaze_rect_h,
+            h.frame_w,
+            h.frame_h,
+        )
+        w_ratio = h.padded_frame_w / h.frame_w
+        h_ratio = h.padded_frame_h / h.frame_h
+        return (
+            round_half_away_from_zero(rect[0] * w_ratio),
+            round_half_away_from_zero(rect[1] * h_ratio),
+            round_half_away_from_zero(rect[2] * w_ratio),
+            round_half_away_from_zero(rect[3] * h_ratio),
+        )
+
+    def decode_frames(
+        self,
+        payloads: Iterator[bytes],
+        gazes: Optional[Iterator[Optional[Tuple[int, int]]]] = None,
+    ) -> Iterator[np.ndarray]:
+        """Decode wire payloads into uint8 BGR frames.
+
+        Batches are padded to the compiled batch shape; surplus outputs are
+        discarded.
+        """
+        batch = self.batch_size
+        buf_c: List[np.ndarray] = []
+        buf_t: List[np.ndarray] = []
+        buf_g: List[Tuple[int, int, int, int]] = []
+
+        def flush(n_valid: int):
+            while len(buf_c) < batch:
+                buf_c.append(buf_c[-1])
+                buf_t.append(buf_t[-1])
+                buf_g.append(buf_g[-1])
+            out = self._decode_batch(
+                jnp.asarray(np.stack(buf_c)),
+                jnp.asarray(np.stack(buf_t)),
+                jnp.asarray(np.asarray(buf_g, np.int32)),
+            )
+            res = np.asarray(out)[:n_valid]
+            buf_c.clear()
+            buf_t.clear()
+            buf_g.clear()
+            return res
+
+        for payload in payloads:
+            types, coeffs = bitstream.deserialize_frame(payload, self.header)
+            gaze = next(gazes) if gazes is not None else None
+            buf_c.append(coeffs)
+            buf_t.append(types)
+            buf_g.append(self.padded_gaze_rect(gaze))
+            if len(buf_c) == batch:
+                yield from flush(batch)
+
+        if buf_c:
+            yield from flush(len(buf_c))

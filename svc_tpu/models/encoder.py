@@ -1,0 +1,299 @@
+"""The encoder pipeline: batched, jitted, TPU-first.
+
+Implements the per-frame pipeline of the reference encoder
+(reference: libs/encoder.cpp:341-667) as one jitted transform over a batch
+of frames:
+
+    pad -> BGR->Y -> Gaussian pyramid -> HBMA motion search -> RANSAC
+    global motion -> foreground mask -> morphology close/open -> k-means
+    motion clustering -> per-cluster connected components -> block types
+    -> blockwise DCT
+
+Where the reference processes one frame per loop iteration on a CPU thread
+(in_queue.Pop ... out_queue.Push, libs/encoder.cpp:453-664), this encoder
+consumes ``batch+1`` frames at once: frame ``t`` is tracked against anchor
+``t+1``, all pairs in parallel (``vmap``), all stages fused by XLA into one
+program per batch shape. Frame t depends on frame t-1 only through the
+*input* pyramid (libs/encoder.cpp:661-663), so any contiguous chunk encodes
+independently given one overlap frame — the basis for both batching and
+multi-chip sharding (svc_tpu.parallel).
+
+Parity decisions (SURVEY.md §2.1):
+
+* Q1 (k-means feature layout bug) — fixed by default: features are
+  ``(mv.x, mv.y, block_px_x, block_px_y)``; ``reference_compat=True``
+  reproduces the reference's effective ``(0, mv.x, x, y)`` layout
+  (libs/encoder.cpp:296-321 + libs/math.hpp:285-291).
+* Q4 (serialization stride) — the padded grid is serialized (see
+  svc_tpu.io.bitstream).
+* Q6/Q8 (flat-region rule, tie-breaks) — replicated exactly (ops.motion).
+* Q7 (nondeterminism) — replaced by per-frame PRNG keys derived from
+  ``cfg.seed``.
+* The reference clamps the cluster count to the foreground block count
+  (libs/encoder.cpp:557-559); a jitted program needs static shapes, so
+  k-means always runs with ``cluster_count`` centers and surplus clusters
+  come out empty — an empty cluster contributes exactly one count to the
+  block-type offset, like an empty ``cv::connectedComponents`` call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svc_tpu.config import EncoderConfig, VideoProperties
+from svc_tpu.io import bitstream
+from svc_tpu.ops.ccl import connected_components
+from svc_tpu.ops.color import bgr_to_y
+from svc_tpu.ops.dct import dct2_blockwise
+from svc_tpu.ops.kmeans import kmeans
+from svc_tpu.ops.morphology import close_then_open
+from svc_tpu.ops.motion import hbma
+from svc_tpu.ops.pad import pad_frame, padded_dims
+from svc_tpu.ops.pyramid import build_pyramid
+from svc_tpu.ops.ransac import estimate_global_motion_ransac, iter_count
+from svc_tpu.utils.mathx import pow2
+
+
+class Encoder:
+    """Batched video encoder.
+
+    Args:
+      cfg: validated ``EncoderConfig``.
+      vidprops: source video properties (apps/encoder.cpp:198-204).
+      batch_size: anchor frames encoded per compiled step.
+    """
+
+    def __init__(
+        self,
+        cfg: EncoderConfig,
+        vidprops: VideoProperties,
+        batch_size: int = 8,
+    ):
+        self.cfg = cfg
+        self.vidprops = vidprops
+        self.batch_size = batch_size
+
+        self.padded_w, self.padded_h = padded_dims(
+            vidprops.frame_w,
+            vidprops.frame_h,
+            cfg.mv_block_w,
+            cfg.mv_block_h,
+            cfg.pyr_lvl_count,
+        )
+        self.excess_w = self.padded_w - vidprops.frame_w
+        self.excess_h = self.padded_h - vidprops.frame_h
+        self.mv_field_w = self.padded_w // cfg.mv_block_w
+        self.mv_field_h = self.padded_h // cfg.mv_block_h
+
+        if iter_count(cfg.ransac) == 0:
+            raise ValueError(
+                "RANSAC parameters yield zero hypotheses; nothing to fit"
+            )
+
+        self._encode_batch = jax.jit(self._build_encode_batch())
+
+    # ------------------------------------------------------------------
+    # jitted pipeline
+    # ------------------------------------------------------------------
+
+    def _build_encode_batch(self):
+        cfg = self.cfg
+        mfh, mfw = self.mv_field_h, self.mv_field_w
+        k = cfg.kmeans.cluster_count
+
+        def per_pair(
+            tracked_pyr: Sequence[jnp.ndarray],
+            anchor_pyr: Sequence[jnp.ndarray],
+            key: jnp.ndarray,
+        ):
+            """Motion + segmentation for one (tracked, anchor) frame pair."""
+            mv, _ = hbma(
+                list(tracked_pyr),
+                list(anchor_pyr),
+                cfg.mv_search_range,
+                cfg.mv_block_w,
+                cfg.mv_block_h,
+            )
+            k_ransac, k_kmeans = jax.random.split(key)
+            gm, rmse, inliers = estimate_global_motion_ransac(
+                mv, cfg.ransac, k_ransac
+            )
+
+            # foreground = RANSAC outliers (libs/encoder.cpp:507-513),
+            # then morphological cleanup (libs/encoder.cpp:524-527)
+            fg_raw = ~inliers
+            fg = close_then_open(
+                fg_raw, cfg.morph_rect_w, cfg.morph_rect_h
+            )
+
+            # k-means features per FG block (libs/encoder.cpp:296-321)
+            ys = (
+                jnp.arange(mfh, dtype=jnp.float32)[:, None]
+                * cfg.mv_block_h
+            )
+            xs = (
+                jnp.arange(mfw, dtype=jnp.float32)[None, :]
+                * cfg.mv_block_w
+            )
+            ys = jnp.broadcast_to(ys, (mfh, mfw))
+            xs = jnp.broadcast_to(xs, (mfh, mfw))
+            if cfg.reference_compat:
+                # quirk Q1: effective reference layout (0, mv.x, x, y)
+                feats = jnp.stack(
+                    [jnp.zeros_like(xs), mv[..., 0], xs, ys], axis=-1
+                )
+            else:
+                feats = jnp.stack([mv[..., 0], mv[..., 1], xs, ys], axis=-1)
+            feats = feats.reshape(-1, 4)
+            mask_flat = fg.reshape(-1)
+
+            labels, _, _ = kmeans(
+                feats,
+                mask_flat,
+                k,
+                k_kmeans,
+                attempts=cfg.kmeans.attempt_count,
+                max_iter=cfg.kmeans.max_iter_count,
+                epsilon=cfg.kmeans.epsilon,
+            )
+            labels = labels.reshape(mfh, mfw)
+
+            # per-cluster connected components -> block types
+            # (libs/encoder.cpp:597-623)
+            btypes = jnp.zeros((mfh, mfw), jnp.int32)
+            offset = jnp.int32(bitstream.BLOCK_TYPE_BACKGROUND)
+            for cid in range(k):  # static cluster loop
+                cmask = labels == cid
+                ids, count = connected_components(
+                    cmask, cfg.connected_components_connectivity
+                )
+                btypes = jnp.where(ids > 0, ids + offset, btypes)
+                offset = offset + count
+
+            return btypes.astype(jnp.uint32), mv, fg_raw, fg, labels, gm, rmse
+
+        def encode_batch(frames_bgr: jnp.ndarray, keys: jnp.ndarray):
+            """Encode ``T = frames - 1`` anchor frames.
+
+            Args:
+              frames_bgr: ``(T+1, H, W, 3)`` uint8; frame 0 is the overlap
+                (tracked-only) frame (libs/encoder.cpp:360-365: the first
+                frame is never emitted).
+              keys: ``(T,)`` PRNG keys, one per anchor frame.
+            """
+            padded = pad_frame(frames_bgr, self.padded_w, self.padded_h)
+            y = bgr_to_y(padded)
+            pyr = build_pyramid(y, cfg.pyr_lvl_count)  # list of (T+1, h, w)
+
+            tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
+            anchor_pyr = tuple(lvl[1:] for lvl in pyr)
+
+            btypes, mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
+                tracked_pyr, anchor_pyr, keys
+            )
+
+            # blockwise DCT on float BGR channels of the anchor frames
+            # (libs/encoder.cpp:638-640); channel order = cv::split order
+            anchors_f32 = padded[1:].astype(jnp.float32)
+            planes = jnp.moveaxis(anchors_f32, -1, 1)  # (T, 3, PH, PW)
+            coeffs = dct2_blockwise(
+                planes, cfg.transform_block_w, cfg.transform_block_h
+            )
+
+            return {
+                "coeffs": coeffs,
+                "block_types": btypes,
+                "mv_field": mv,
+                "foreground_mask_raw": fg_raw,
+                "foreground_mask": fg,
+                "cluster_labels": labels,
+                "global_motion": gm,
+                "ransac_rmse": rmse,
+                "padded_frames": padded[1:],
+            }
+
+        return encode_batch
+
+    # ------------------------------------------------------------------
+    # host API
+    # ------------------------------------------------------------------
+
+    def header(self) -> bitstream.Header:
+        """Bitstream header; first frame is reference-only so the stream
+        carries ``frame_count - 1`` frames (libs/encoder.cpp:360-381)."""
+        frame_count = self.vidprops.frame_count
+        if frame_count > 0:
+            frame_count -= 1
+        return bitstream.Header(
+            frame_count=frame_count,
+            frame_w=self.vidprops.frame_w,
+            frame_h=self.vidprops.frame_h,
+            frame_excess_w=self.excess_w,
+            frame_excess_h=self.excess_h,
+            transform_block_w=self.cfg.transform_block_w,
+            transform_block_h=self.cfg.transform_block_h,
+            channel_count=3,
+        )
+
+    def _keys(self, start_index: int, count: int) -> jnp.ndarray:
+        base = jax.random.key(self.cfg.seed)
+        return jax.vmap(
+            lambda i: jax.random.fold_in(base, i)
+        )(jnp.arange(start_index, start_index + count))
+
+    def encode_batch(self, frames_bgr: np.ndarray, first_anchor_index: int):
+        """Run the jitted pipeline on ``(T+1, H, W, 3)`` uint8 frames."""
+        t = frames_bgr.shape[0] - 1
+        keys = self._keys(first_anchor_index, t)
+        return self._encode_batch(jnp.asarray(frames_bgr), keys)
+
+    def encode_video(
+        self, frames: Iterator[np.ndarray], on_batch=None
+    ) -> Iterator[bytes]:
+        """Stream encode: yields the header, then one payload per anchor
+        frame. The batch shape is fixed so the pipeline compiles once;
+        the final partial batch is padded and its surplus discarded.
+
+        ``on_batch(first_anchor_index, outputs, n_valid)`` is an optional
+        observability hook (used by the visualizer)."""
+        yield self.header().pack()
+
+        window: List[np.ndarray] = []
+        anchor_index = 0
+        batch = self.batch_size
+
+        def run(window_frames: List[np.ndarray], n_valid: int):
+            nonlocal anchor_index
+            arr = np.stack(window_frames)
+            out = self.encode_batch(arr, anchor_index)
+            coeffs = np.asarray(out["coeffs"])
+            btypes = np.asarray(out["block_types"])
+            if on_batch is not None:
+                on_batch(anchor_index, out, n_valid)
+            anchor_index += n_valid
+            for i in range(n_valid):
+                yield bitstream.serialize_frame(
+                    coeffs[i],
+                    btypes[i],
+                    self.cfg.transform_block_w,
+                    self.cfg.transform_block_h,
+                    self.cfg.mv_block_w,
+                    self.cfg.mv_block_h,
+                )
+
+        for frame in frames:
+            window.append(np.asarray(frame, dtype=np.uint8))
+            if len(window) == batch + 1:
+                yield from run(window, batch)
+                window = window[-1:]  # overlap frame
+
+        remainder = len(window) - 1
+        if remainder > 0:
+            # pad to the compiled batch shape; discard surplus outputs
+            pad = [window[-1]] * (batch - remainder)
+            yield from run(window + pad, remainder)
