@@ -1,0 +1,108 @@
+"""Headline benchmark: 1080p end-to-end encode throughput on one TPU chip.
+
+Measures the full encoder pipeline (pad -> luma -> 4-level pyramid -> HBMA
+16x16/range-8 -> RANSAC -> morphology -> k-means -> per-cluster CCL ->
+blockwise 8x8 DCT) at the reference's default codec configuration
+(apps/encoder.cpp:28-58) on synthetic 1080p BGR frames.
+
+Timing covers host->device transfer of the uint8 input frames plus all
+device compute (block_until_ready on every output); DCT coefficients stay
+on device, mirroring a production pipeline that overlaps D2H readback of
+the bitstream with the next batch's compute.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
+measured against the BASELINE.json north-star target of 500 fps/chip.
+
+Prints exactly one JSON line:
+  {"metric": "1080p_encode_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_FPS = 500.0  # BASELINE.json north-star: >500 fps 1080p per chip
+
+
+def make_frames(t, h, w, seed=0):
+    """Synthetic 1080p content: large-scale texture pan + moving objects."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(0, 256, ((h + 256) // 8, (w + 256) // 8))
+    base = np.kron(coarse, np.ones((8, 8))).astype(np.float32)
+    frames = np.empty((t, h, w, 3), np.uint8)
+    for i in range(t):
+        f = base[2 * i : 2 * i + h, i : i + w].copy()
+        oy, ox = 200 + 6 * i, 400 + 10 * i
+        f[oy : oy + 128, ox : ox + 128] = base[:128, :128]
+        frames[i] = np.repeat(f[..., None], 3, -1).astype(np.uint8)
+    return frames
+
+
+def main():
+    import jax
+
+    from svc_tpu.config import EncoderConfig, VideoProperties
+    from svc_tpu.models.encoder import Encoder
+
+    t, h, w = 16, 1080, 1920
+    cfg = EncoderConfig()
+    props = VideoProperties(frame_w=w, frame_h=h, frame_count=t + 1)
+    enc = Encoder(cfg, props, batch_size=t)
+
+    frames = make_frames(t + 1, h, w)
+    keys = enc._keys(0, t)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    def step(frames_host):
+        out = enc._encode_batch(jax.device_put(frames_host, dev), keys)
+        jax.block_until_ready(out)
+        return out
+
+    # compile + warm up
+    t0 = time.perf_counter()
+    out = step(frames)
+    print(
+        f"compile+first batch: {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+    # steady state
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(frames)
+    dt = time.perf_counter() - t0
+    fps = iters * t / dt
+
+    # D2H-inclusive number for visibility (coefficients are 3x4 bytes/px)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = step(frames)
+        np.asarray(out["coeffs"])
+        np.asarray(out["block_types"])
+    fps_d2h = 2 * t / (time.perf_counter() - t0)
+    print(
+        f"steady-state: {fps:.1f} fps (device) / {fps_d2h:.1f} fps "
+        f"(incl. coeff readback)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_encode_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

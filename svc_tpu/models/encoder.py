@@ -47,7 +47,7 @@ import numpy as np
 
 from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
-from svc_tpu.ops.ccl import connected_components
+from svc_tpu.ops.ccl import connected_components_batched
 from svc_tpu.ops.color import bgr_to_y
 from svc_tpu.ops.dct import dct2_blockwise
 from svc_tpu.ops.kmeans import kmeans
@@ -95,13 +95,21 @@ class Encoder:
                 "RANSAC parameters yield zero hypotheses; nothing to fit"
             )
 
-        self._encode_batch = jax.jit(self._build_encode_batch())
+        self.encode_pairs = self._build_encode_pairs()
+        # the traceable batch step (public, for jit/sharding composition)
+        self.encode_batch_fn = self._build_encode_batch()
+        self._encode_batch = jax.jit(self.encode_batch_fn)
 
     # ------------------------------------------------------------------
     # jitted pipeline
     # ------------------------------------------------------------------
 
-    def _build_encode_batch(self):
+    def _build_encode_pairs(self):
+        """The shardable core: encode explicit (tracked, anchor) stacks.
+
+        Every pair is independent — the basis for both single-chip batching
+        and frame-parallel multi-chip sharding (svc_tpu.parallel.sharding).
+        """
         cfg = self.cfg
         mfh, mfw = self.mv_field_h, self.mv_field_w
         k = cfg.kmeans.cluster_count
@@ -164,43 +172,51 @@ class Encoder:
             labels = labels.reshape(mfh, mfw)
 
             # per-cluster connected components -> block types
-            # (libs/encoder.cpp:597-623)
-            btypes = jnp.zeros((mfh, mfw), jnp.int32)
-            offset = jnp.int32(bitstream.BLOCK_TYPE_BACKGROUND)
-            for cid in range(k):  # static cluster loop
-                cmask = labels == cid
-                ids, count = connected_components(
-                    cmask, cfg.connected_components_connectivity
-                )
-                btypes = jnp.where(ids > 0, ids + offset, btypes)
-                offset = offset + count
+            # (libs/encoder.cpp:597-623): all k cluster masks are labeled
+            # in one batched propagation; each cluster's types start at the
+            # running offset, which advances by that cluster's label count
+            # (components + background) exactly like the reference
+            cluster_masks = (
+                labels[None, :, :] == jnp.arange(k)[:, None, None]
+            )
+            ids, counts = connected_components_batched(
+                cluster_masks, cfg.connected_components_connectivity
+            )
+            offsets = jnp.concatenate(
+                [
+                    jnp.zeros(1, jnp.int32)
+                    + bitstream.BLOCK_TYPE_BACKGROUND,
+                    jnp.cumsum(counts)[:-1]
+                    + bitstream.BLOCK_TYPE_BACKGROUND,
+                ]
+            )
+            btypes = jnp.sum(
+                jnp.where(ids > 0, ids + offsets[:, None, None], 0), axis=0
+            )
 
             return btypes.astype(jnp.uint32), mv, fg_raw, fg, labels, gm, rmse
 
-        def encode_batch(frames_bgr: jnp.ndarray, keys: jnp.ndarray):
-            """Encode ``T = frames - 1`` anchor frames.
+        def encode_pairs(
+            tracked_pyr: Tuple[jnp.ndarray, ...],
+            anchor_padded: jnp.ndarray,
+            anchor_pyr: Tuple[jnp.ndarray, ...],
+            keys: jnp.ndarray,
+        ):
+            """Encode ``T`` explicit (tracked, anchor) pairs.
 
             Args:
-              frames_bgr: ``(T+1, H, W, 3)`` uint8; frame 0 is the overlap
-                (tracked-only) frame (libs/encoder.cpp:360-365: the first
-                frame is never emitted).
-              keys: ``(T,)`` PRNG keys, one per anchor frame.
+              tracked_pyr / anchor_pyr: per-level ``(T, h_l, w_l)`` luma
+                pyramids.
+              anchor_padded: ``(T, PH, PW, 3)`` uint8 padded anchor frames.
+              keys: ``(T,)`` PRNG keys.
             """
-            padded = pad_frame(frames_bgr, self.padded_w, self.padded_h)
-            y = bgr_to_y(padded)
-            pyr = build_pyramid(y, cfg.pyr_lvl_count)  # list of (T+1, h, w)
-
-            tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
-            anchor_pyr = tuple(lvl[1:] for lvl in pyr)
-
             btypes, mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
                 tracked_pyr, anchor_pyr, keys
             )
 
             # blockwise DCT on float BGR channels of the anchor frames
             # (libs/encoder.cpp:638-640); channel order = cv::split order
-            anchors_f32 = padded[1:].astype(jnp.float32)
-            planes = jnp.moveaxis(anchors_f32, -1, 1)  # (T, 3, PH, PW)
+            planes = jnp.moveaxis(anchor_padded.astype(jnp.float32), -1, 1)
             coeffs = dct2_blockwise(
                 planes, cfg.transform_block_w, cfg.transform_block_h
             )
@@ -214,8 +230,33 @@ class Encoder:
                 "cluster_labels": labels,
                 "global_motion": gm,
                 "ransac_rmse": rmse,
-                "padded_frames": padded[1:],
+                "padded_frames": anchor_padded,
             }
+
+        return encode_pairs
+
+    def preprocess(self, frames_bgr: jnp.ndarray):
+        """Pad + luma + pyramid for a ``(N, H, W, 3)`` uint8 frame stack."""
+        padded = pad_frame(frames_bgr, self.padded_w, self.padded_h)
+        y = bgr_to_y(padded)
+        return padded, tuple(build_pyramid(y, self.cfg.pyr_lvl_count))
+
+    def _build_encode_batch(self):
+        def encode_batch(frames_bgr: jnp.ndarray, keys: jnp.ndarray):
+            """Encode ``T = frames - 1`` anchor frames.
+
+            Args:
+              frames_bgr: ``(T+1, H, W, 3)`` uint8; frame 0 is the overlap
+                (tracked-only) frame (libs/encoder.cpp:360-365: the first
+                frame is never emitted).
+              keys: ``(T,)`` PRNG keys, one per anchor frame.
+            """
+            padded, pyr = self.preprocess(frames_bgr)
+            tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
+            anchor_pyr = tuple(lvl[1:] for lvl in pyr)
+            return self.encode_pairs(
+                tracked_pyr, padded[1:], anchor_pyr, keys
+            )
 
         return encode_batch
 

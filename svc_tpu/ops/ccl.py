@@ -25,24 +25,31 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity",))
-def connected_components(
-    mask: jnp.ndarray, connectivity: int = 4
+def connected_components_batched(
+    masks: jnp.ndarray, connectivity: int = 4
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Label connected regions of a bool ``(H, W)`` mask.
+    """Label connected regions of a bool ``(B, H, W)`` mask batch.
 
-    Returns ``(labels, count)`` where labels are int32 with 0 for
-    background and 1..n for components, and ``count = n + 1`` — the same
-    "number of labels including background" that
-    ``cv::connectedComponents`` returns (the encoder advances its
-    block-type offset by this value per cluster, libs/encoder.cpp:609-622).
+    All masks propagate under ONE ``while_loop`` (min-label propagation with
+    pointer jumping, so path lengths halve each sweep) — the batch dimension
+    is how this stays TPU-shaped: the encoder labels every k-means cluster
+    of every frame in a batch at once instead of looping small grids.
+
+    Returns ``(labels, counts)``: labels int32, 0 = background, 1..n per
+    mask in raster order of each component's first pixel; ``counts = n + 1``
+    including the background label, matching ``cv::connectedComponents``'s
+    return value (the encoder advances its block-type offset by it,
+    libs/encoder.cpp:609-622).
     """
     if connectivity not in (4, 8):
         raise ValueError("connectivity must be 4 or 8")
-    h, w = mask.shape
+    b, h, w = masks.shape
     n = h * w
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32).reshape(1, h, w), (b, h, w)
+    )
     big = jnp.int32(n)  # sentinel for background / out of mask
-    labels = jnp.where(mask, idx, big)
+    labels = jnp.where(masks, idx, big)
 
     if connectivity == 4:
         shifts = ((0, 1), (0, -1), (1, 0), (-1, 0))
@@ -52,40 +59,55 @@ def connected_components(
             (1, 1), (1, -1), (-1, 1), (-1, -1),
         )
 
+    pad_cfg = [(0, 0, 0), (1, 1, 0), (1, 1, 0)]
+
     def neighbor_min(lab):
+        # pad with the sentinel so border-crossing shifts are inert
+        padded = jax.lax.pad(lab, big, pad_cfg)
         m = lab
         for dy, dx in shifts:
-            shifted = jnp.roll(lab, (dy, dx), axis=(0, 1))
-            # cells rolled across the border are invalid
-            yy = jnp.arange(h)[:, None]
-            xx = jnp.arange(w)[None, :]
-            valid = (
-                (yy - dy >= 0) & (yy - dy < h) & (xx - dx >= 0) & (xx - dx < w)
+            shifted = jax.lax.dynamic_slice(
+                padded, (0, 1 + dy, 1 + dx), (b, h, w)
             )
-            m = jnp.minimum(m, jnp.where(valid, shifted, big))
-        return jnp.where(mask, m, big)
+            m = jnp.minimum(m, shifted)
+        return jnp.where(masks, m, big)
 
     def body(state):
         lab, _ = state
         new = neighbor_min(lab)
-        # pointer jumping: follow the label chain two hops at a time
-        flat = new.ravel()
-        flat_ext = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
-        new = flat_ext[flat].reshape(h, w)
-        new = jnp.where(mask, jnp.minimum(new, lab), big)
+        # pointer jumping: follow the label chain one extra hop per sweep
+        flat = new.reshape(b, n)
+        flat_ext = jnp.concatenate(
+            [flat, jnp.full((b, 1), big, jnp.int32)], axis=1
+        )
+        jumped = jnp.take_along_axis(flat_ext, flat, axis=1).reshape(b, h, w)
+        new = jnp.where(masks, jnp.minimum(jumped, new), big)
         return new, jnp.any(new != lab)
 
-    def cond(state):
-        return state[1]
-
     labels, _ = jax.lax.while_loop(
-        cond, body, (labels, jnp.bool_(True))
+        lambda s: s[1], body, (labels, jnp.bool_(True))
     )
 
     # canonicalize: components numbered in raster order of their root pixel
-    is_root = mask & (labels == idx)
-    rank = jnp.cumsum(is_root.ravel().astype(jnp.int32))
-    rank_ext = jnp.concatenate([rank, jnp.array([0], jnp.int32)])
-    canon = jnp.where(mask, rank_ext[labels.ravel()].reshape(h, w), 0)
-    count = rank[-1] + 1
-    return canon.astype(jnp.int32), count
+    is_root = masks & (labels == idx)
+    rank = jnp.cumsum(is_root.reshape(b, n).astype(jnp.int32), axis=1)
+    rank_ext = jnp.concatenate([rank, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    canon = jnp.where(
+        masks,
+        jnp.take_along_axis(rank_ext, labels.reshape(b, n), axis=1).reshape(
+            b, h, w
+        ),
+        0,
+    )
+    counts = rank[:, -1] + 1
+    return canon.astype(jnp.int32), counts
+
+
+def connected_components(
+    mask: jnp.ndarray, connectivity: int = 4
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-mask convenience wrapper over the batched kernel."""
+    labels, counts = connected_components_batched(
+        mask[None], connectivity
+    )
+    return labels[0], counts[0]

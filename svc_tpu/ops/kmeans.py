@@ -99,19 +99,14 @@ def _lloyd_attempt(
         sums = onehot.T @ x
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
 
-        # empty-cluster repair: move each empty cluster onto the currently
-        # farthest valid point (one per empty cluster)
-        def fix(i, state):
-            cters, d2left = state
-            empty = counts[i] == 0
-            far = jnp.argmax(jnp.where(mask, d2left, -1.0))
-            cters = jnp.where(empty, cters.at[i].set(x[far]), cters)
-            d2left = jnp.where(empty, d2left.at[far].set(-1.0), d2left)
-            return cters, d2left
-
-        new_centers, _ = jax.lax.fori_loop(
-            0, k, fix, (new_centers, point_d2)
-        )
+        # empty-cluster repair: the j-th empty cluster (by index) moves onto
+        # the j-th farthest valid point — one vectorized top-k instead of a
+        # sequential argmax-and-mask loop
+        empty = counts == 0
+        _, far_idx = jax.lax.top_k(jnp.where(mask, point_d2, -1.0), k)
+        empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+        repair = x[far_idx[jnp.clip(empty_rank, 0, k - 1)]]
+        new_centers = jnp.where(empty[:, None], repair, new_centers)
 
         shift2 = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=-1))
         new_done = done | (shift2 <= epsilon**2)

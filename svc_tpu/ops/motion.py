@@ -87,10 +87,10 @@ def ebma(
     area = float(block_w * block_h)
     r = search_range
 
-    anchor_i = anchor.astype(jnp.int32)
-    # Pad once; each candidate is a static-size dynamic slice of this.
-    tracked_pad = jnp.pad(
-        tracked.astype(jnp.int32), ((r, r), (r, r)), constant_values=0
+    # dense SADs for every displacement, then the sequential selection
+    # semantics replayed as a cheap scan over the (small) candidate axis
+    table = _sad_table(tracked, anchor, r, block_w, block_h) / jnp.float32(
+        area
     )
 
     offsets = jnp.asarray(_candidate_offsets(r))
@@ -99,12 +99,10 @@ def ebma(
     by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
     bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
 
-    def step(state, d):
+    def step(state, dm):
         mv, min_mad, update_count, valid_count = state
+        d, mad = dm
         dy, dx = d[0], d[1]
-        cand = jax.lax.dynamic_slice(tracked_pad, (r + dy, r + dx), (fh, fw))
-        sad = _block_sums(jnp.abs(cand - anchor_i), block_w, block_h)
-        mad = sad.astype(jnp.float32) * (1.0 / area)
 
         # candidate tracked block must lie fully inside the frame
         valid = (
@@ -137,7 +135,7 @@ def ebma(
         jnp.zeros((mfh, mfw), jnp.int32),
     )
     (mv, min_mad, update_count, valid_count), _ = jax.lax.scan(
-        step, init, offsets
+        step, init, (offsets, table)
     )
 
     # flat-region heuristic: every candidate in the search area improved the
@@ -147,7 +145,75 @@ def ebma(
     return mv, min_mad
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "block_w", "block_h"))
+def _block_indicators(fh: int, fw: int, block_w: int, block_h: int):
+    """0/1 reduction matrices mapping pixel rows/cols to block rows/cols."""
+    mfh, mfw = fh // block_h, fw // block_w
+    rows = np.zeros((mfh, fh), np.float32)
+    rows[np.arange(fh) // block_h, np.arange(fh)] = 1.0
+    cols = np.zeros((fw, mfw), np.float32)
+    cols[np.arange(fw), np.arange(fw) // block_w] = 1.0
+    return jnp.asarray(rows, jnp.bfloat16), jnp.asarray(cols)
+
+
+def _sad_table(
+    tracked: jnp.ndarray,
+    anchor: jnp.ndarray,
+    radius: int,
+    block_w: int,
+    block_h: int,
+) -> jnp.ndarray:
+    """Dense per-block SADs for every displacement in ``[-radius, radius]^2``.
+
+    The TPU-native core of block matching: instead of gathering each
+    block's candidate windows (irregular, scatter-bound memory access),
+    compute the whole-frame absolute difference for each displacement (a
+    shifted dense subtract — VPU work) and reduce it to per-block sums with
+    0/1 indicator matmuls on the MXU. Arithmetic is exact: absolute
+    differences are <= 255 (exactly representable in bfloat16), the MXU
+    accumulates in float32, and per-block sums stay <= block_area * 255,
+    well under 2**24.
+
+    Returns ``((2*radius+1)^2, mfh, mfw)`` float32 SADs (integer-valued) in
+    raster displacement order (dy ascending, dx ascending).
+    """
+    fh, fw = tracked.shape
+    r = radius
+    anchor_i = anchor.astype(jnp.int16)
+    tracked_pad = jnp.pad(tracked, ((r, r), (r, r)), constant_values=0)
+    offsets = jnp.asarray(_candidate_offsets(r))
+    row_ind, col_ind = _block_indicators(fh, fw, block_w, block_h)
+
+    def step(_, d):
+        cand = jax.lax.dynamic_slice(
+            tracked_pad, (r + d[0], r + d[1]), (fh, fw)
+        )
+        diff = jnp.abs(cand.astype(jnp.int16) - anchor_i)
+        # rows -> block rows on the MXU (bf16 exact for values <= 255)
+        part = jnp.einsum(
+            "mh,hw->mw",
+            row_ind,
+            diff.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        # cols -> block cols; partial sums exceed bf16's integer range, so
+        # this small matmul runs in full f32 precision
+        sad = jnp.einsum(
+            "mw,wn->mn",
+            part,
+            col_ind,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return None, sad
+
+    _, table = jax.lax.scan(step, None, offsets)
+    return table
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_range", "block_w", "block_h", "mv_bound"),
+)
 def refine(
     tracked: jnp.ndarray,
     anchor: jnp.ndarray,
@@ -156,6 +222,7 @@ def refine(
     block_h: int,
     mv_field: jnp.ndarray,
     min_mad: jnp.ndarray,
+    mv_bound: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One hierarchical refinement pass around propagated MVs.
 
@@ -163,12 +230,88 @@ def refine(
     updating only on strictly smaller MAD and carrying ``min_mad`` in from
     the previous pyramid level (``RefineHierMotionEst``,
     libs/motion.cpp:342-410).
+
+    ``mv_bound``: static bound on ``|mv| + search_range``. When positive
+    and small enough, the dense SAD-table path is used (see ``_sad_table``);
+    otherwise a per-block gather path. Both are semantically identical.
     """
+    r = search_range
+    table_radius = mv_bound
+    n_offsets = (2 * table_radius + 1) ** 2
+    # dense-table path: worth it while the table stays moderate
+    if table_radius > 0 and n_offsets <= 4096:
+        return _refine_table(
+            tracked, anchor, r, block_w, block_h, mv_field, min_mad,
+            table_radius,
+        )
+    return _refine_gather(
+        tracked, anchor, r, block_w, block_h, mv_field, min_mad
+    )
+
+
+def _refine_table(
+    tracked, anchor, r, block_w, block_h, mv_field, min_mad, radius
+):
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    area = float(block_w * block_h)
+    side = 2 * radius + 1
+
+    # (mfh, mfw, n_offsets) MADs for every displacement in range; true
+    # division matches the reference's (float)sad / count exactly
+    table = (
+        jnp.moveaxis(
+            _sad_table(tracked, anchor, radius, block_w, block_h), 0, -1
+        )
+        / jnp.float32(area)
+    )
+
+    by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
+    bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
+    mv_round = jnp.round(mv_field).astype(jnp.int32)
+    py = by + mv_round[..., 1]
+    px = bx + mv_round[..., 0]
+
+    offsets = jnp.asarray(_candidate_offsets(r))
+
+    def step(state, e):
+        mv, best = state
+        ey, ex = e[0], e[1]
+        dy = jnp.clip(mv_round[..., 1] + ey, -radius, radius)
+        dx = jnp.clip(mv_round[..., 0] + ex, -radius, radius)
+        idx = (dy + radius) * side + (dx + radius)
+        mad = jnp.take_along_axis(table, idx[..., None], axis=-1)[..., 0]
+
+        valid = (
+            (py + ey >= 0)
+            & (py + ey <= fh - block_h)
+            & (px + ex >= 0)
+            & (px + ex <= fw - block_w)
+        )
+        update = valid & (mad < best)
+        new_mv = jnp.stack(
+            [
+                (px + ex - bx).astype(jnp.float32),
+                (py + ey - by).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        mv = jnp.where(update[..., None], new_mv, mv)
+        best = jnp.where(update, mad, best)
+        return (mv, best), None
+
+    (mv, best), _ = jax.lax.scan(step, (mv_field, min_mad), offsets)
+    return mv, best
+
+
+def _refine_gather(
+    tracked, anchor, r, block_w, block_h, mv_field, min_mad
+):
+    """Per-block gather fallback for unbounded/large MV ranges."""
     fh, fw = tracked.shape
     assert fh % block_h == 0 and fw % block_w == 0
     mfh, mfw = fh // block_h, fw // block_w
     area = float(block_w * block_h)
-    r = search_range
 
     anchor_i = anchor.astype(jnp.int32)
     tracked_i = tracked.astype(jnp.int32)
@@ -202,7 +345,7 @@ def refine(
         gx = jnp.clip(xx + mvx_px + ex, 0, fw - 1)
         cand = tracked_i[gy, gx]
         sad = _block_sums(jnp.abs(cand - anchor_i), block_w, block_h)
-        mad = sad.astype(jnp.float32) * (1.0 / area)
+        mad = sad.astype(jnp.float32) / jnp.float32(area)
 
         valid = (
             (py + ey >= 0)
@@ -261,9 +404,13 @@ def hbma(
         block_h // factor,
     )
 
+    # static bound on |mv| components, tightened per level: doubling plus
+    # the refinement range — lets refine() use the dense SAD-table path
+    mv_bound = top_range
     for lvl in range(level_count - 2, -1, -1):
         scale = 1 << lvl
         mv = mv * 2.0
+        mv_bound = 2 * mv_bound + top_range
         mv, min_mad = refine(
             tracked_pyramid[lvl],
             anchor_pyramid[lvl],
@@ -272,6 +419,7 @@ def hbma(
             block_h // scale,
             mv,
             min_mad,
+            mv_bound=mv_bound,
         )
     return mv, min_mad
 

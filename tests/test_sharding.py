@@ -1,0 +1,109 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from svc_tpu.config import EncoderConfig, KMeansParams, VideoProperties
+from svc_tpu.models.encoder import Encoder
+from svc_tpu.parallel.sharding import (
+    FRAME_AXIS,
+    ShardedEncoder,
+    make_frame_mesh,
+)
+
+
+def _cfg():
+    return EncoderConfig(
+        mv_block_w=8,
+        mv_block_h=8,
+        mv_search_range=4,
+        pyr_lvl_count=2,
+        kmeans=KMeansParams(cluster_count=3),
+    )
+
+
+def _frames(t, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(30, 220, (24, 28)).astype(np.float32)
+    bg = np.kron(coarse, np.ones((4, 4)))
+    out = []
+    for i in range(t):
+        f = bg[i : i + h, i : i + w].copy()
+        f[10:20, 30:40] = 240 - 5 * i
+        out.append(np.repeat(f[..., None], 3, -1).astype(np.uint8))
+    return np.stack(out)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_frame_mesh(8)
+
+
+class TestShardedEncoder:
+    def test_matches_single_chip_bitwise(self, mesh):
+        cfg = _cfg()
+        props = VideoProperties(64, 48, 9)
+        frames = _frames(9)
+        sharded = ShardedEncoder(cfg, props, mesh, batch_per_device=1)
+        single = Encoder(cfg, props, batch_size=8)
+        out_s = sharded.encode_batch(frames, 0)
+        out_r = single.encode_batch(frames, 0)
+        for key in ("coeffs", "block_types", "mv_field", "foreground_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(out_s[key]), np.asarray(out_r[key])
+            )
+
+    def test_output_sharded_along_frames(self, mesh):
+        cfg = _cfg()
+        props = VideoProperties(64, 48, 9)
+        sharded = ShardedEncoder(cfg, props, mesh, batch_per_device=1)
+        out = sharded.encode_batch(_frames(9), 0)
+        spec = out["coeffs"].sharding.spec
+        assert spec[0] == FRAME_AXIS
+
+    def test_collective_stats_replicated(self, mesh):
+        cfg = _cfg()
+        props = VideoProperties(64, 48, 9)
+        sharded = ShardedEncoder(cfg, props, mesh, batch_per_device=1)
+        out = sharded.encode_batch(_frames(9), 0)
+        fg_total = int(out["total_foreground_blocks"])
+        fg_direct = int(np.asarray(out["foreground_mask"]).sum())
+        assert fg_total == fg_direct
+        assert np.isfinite(float(out["mean_ransac_rmse"]))
+
+    def test_multiple_pairs_per_device(self, mesh):
+        cfg = _cfg()
+        props = VideoProperties(64, 48, 17)
+        sharded = ShardedEncoder(cfg, props, mesh, batch_per_device=2)
+        assert sharded.batch_size == 16
+        out = sharded.encode_batch(_frames(17), 0)
+        assert out["coeffs"].shape[0] == 16
+
+    def test_wrong_batch_size_raises(self, mesh):
+        cfg = _cfg()
+        props = VideoProperties(64, 48, 9)
+        sharded = ShardedEncoder(cfg, props, mesh, batch_per_device=1)
+        with pytest.raises(ValueError, match="sharded batch"):
+            sharded.encode_batch(_frames(5), 0)
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        import importlib.util, pathlib
+
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__",
+            pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        fn, args = mod.entry()
+        coeffs, btypes = jax.jit(fn)(*args)
+        assert coeffs.shape == (2, 3, 128, 128)
+        assert btypes.shape == (2, 8, 8)
+
+        mod.dryrun_multichip(8)
