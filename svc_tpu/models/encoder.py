@@ -49,7 +49,7 @@ from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
 from svc_tpu.ops.ccl import connected_components_batched
 from svc_tpu.ops.color import bgr_to_y
-from svc_tpu.ops.dct import dct2_blockwise
+from svc_tpu.ops.dct import dct2_blockwise_nhwc
 from svc_tpu.ops.kmeans import kmeans
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma
@@ -216,9 +216,8 @@ class Encoder:
 
             # blockwise DCT on float BGR channels of the anchor frames
             # (libs/encoder.cpp:638-640); channel order = cv::split order
-            planes = jnp.moveaxis(anchor_padded.astype(jnp.float32), -1, 1)
-            coeffs = dct2_blockwise(
-                planes, cfg.transform_block_w, cfg.transform_block_h
+            coeffs = dct2_blockwise_nhwc(
+                anchor_padded, cfg.transform_block_w, cfg.transform_block_h
             )
 
             return {

@@ -65,6 +65,34 @@ def dct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarra
     return _from_blocks(out)
 
 
+def dct2_blockwise_nhwc(
+    frames: jnp.ndarray, block_w: int, block_h: int
+) -> jnp.ndarray:
+    """Forward blockwise DCT of uint8 ``(T, H, W, C)`` frames directly into
+    ``(T, C, H, W)`` float32 coefficient planes.
+
+    Fuses the channel-plane split (``cv::split``, libs/encoder.cpp:328),
+    the float conversion (libs/encoder.cpp:638) and both DCT matmuls into
+    one contraction so XLA never materializes a transposed float copy of
+    the frame batch.
+    """
+    t, h, w, c = frames.shape
+    dh = jnp.asarray(dct_matrix(block_h))
+    dw = jnp.asarray(dct_matrix(block_w))
+    blocks = frames.reshape(
+        t, h // block_h, block_h, w // block_w, block_w, c
+    ).astype(jnp.float32)
+    out = jnp.einsum(
+        "ki,tyixjc,lj->tcykxl",
+        dh,
+        blocks,
+        dw,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(t, c, h, w)
+
+
 def idct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarray:
     """Inverse blockwise 2-D DCT (DCT-III) of float32 ``(..., H, W)``."""
     dh = jnp.asarray(dct_matrix(block_h))

@@ -249,6 +249,154 @@ def refine(
     )
 
 
+def _refine_select(
+    mads: jnp.ndarray,
+    mv_field: jnp.ndarray,
+    min_mad: jnp.ndarray,
+    r: int,
+    block_w: int,
+    block_h: int,
+    fh: int,
+    fw: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Replay the reference's sequential strict-< candidate selection
+    (libs/motion.cpp:390-407) over precomputed per-candidate MADs
+    ``(ncand, mfh, mfw)`` in raster offset order."""
+    mfh, mfw = mv_field.shape[:2]
+    by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
+    bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
+    mv_round = jnp.round(mv_field).astype(jnp.int32)
+    py = by + mv_round[..., 1]
+    px = bx + mv_round[..., 0]
+    offsets = jnp.asarray(_candidate_offsets(r))
+
+    def step(state, om):
+        mv, best = state
+        e, mad = om
+        ey, ex = e[0], e[1]
+        valid = (
+            (py + ey >= 0)
+            & (py + ey <= fh - block_h)
+            & (px + ex >= 0)
+            & (px + ex <= fw - block_w)
+        )
+        update = valid & (mad < best)
+        new_mv = jnp.stack(
+            [
+                (px + ex - bx).astype(jnp.float32),
+                (py + ey - by).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        mv = jnp.where(update[..., None], new_mv, mv)
+        best = jnp.where(update, mad, best)
+        return (mv, best), None
+
+    (mv, best), _ = jax.lax.scan(step, (mv_field, min_mad), (offsets, mads))
+    return mv, best
+
+
+def _spread_cells(
+    plane: jnp.ndarray, block_w: int, block_h: int, pad: int
+) -> jnp.ndarray:
+    """Spread a padded frame into per-block neighborhood cells.
+
+    Returns ``(mfh, mfw, bh + 2*pad, bw + 2*pad)`` where cell (i, j) holds
+    the frame region ``[i*bh - pad, i*bh + bh + pad) x [j*bw - pad, ...)``.
+    Built from static slices only — the TPU-friendly substitute for
+    per-block gathers.
+    """
+    ph, pw = plane.shape
+    fh, fw = ph - 2 * pad, pw - 2 * pad
+    mfh, mfw = fh // block_h, fw // block_w
+    ch, cw = block_h + 2 * pad, block_w + 2 * pad
+
+    # the shifted contiguous reshapes below read up to this column
+    needed = ((cw - 1) // block_w) * block_w + mfw * block_w
+    if needed > pw:
+        plane = jnp.pad(plane, ((0, 0), (0, needed - pw)))
+
+    # rows: mfh overlapping strips via static slices
+    strips = jnp.stack(
+        [plane[i * block_h : i * block_h + ch, :] for i in range(mfh)]
+    )  # (mfh, ch, pw)
+
+    # cols: cw-wide windows at stride bw, assembled from ceil(cw/bw)
+    # shifted contiguous reshapes
+    parts = []
+    for c0 in range(0, cw, block_w):
+        width = min(block_w, cw - c0)
+        seg = strips[:, :, c0 : c0 + mfw * block_w]
+        seg = seg.reshape(mfh, ch, mfw, block_w)[..., :width]
+        parts.append(seg)
+    cells = jnp.concatenate(parts, axis=-1)  # (mfh, ch, mfw, cw)
+    return jnp.moveaxis(cells, 1, 2)  # (mfh, mfw, ch, cw)
+
+
+def _refine_spread(
+    tracked, anchor, r, block_w, block_h, mv_field, min_mad, bound_in
+):
+    """Refinement via spread cells + masked even-shift window selection.
+
+    ``mv_field`` entering a pyramid refinement is always a doubled integer
+    field (libs/motion.cpp:455-459), so per-block window positions are even
+    shifts in ``[-bound_in, bound_in]`` — each realized as one static slice
+    of the cell tensor selected by a dense mask. No gathers anywhere.
+    """
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    area = float(block_w * block_h)
+    pad = bound_in + r
+
+    tp = jnp.pad(
+        tracked.astype(jnp.int16), ((pad, pad), (pad, pad)),
+        constant_values=0,
+    )
+    cells = _spread_cells(tp, block_w, block_h, pad)
+
+    mv_round = jnp.round(mv_field).astype(jnp.int32)
+    mvx = mv_round[..., 0]
+    mvy = mv_round[..., 1]
+
+    wh, ww = block_h + 2 * r, block_w + 2 * r
+    shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
+
+    # rows: select each block's vertical window position
+    win_rows = jnp.zeros((mfh, mfw, wh, cells.shape[-1]), jnp.int16)
+    for s in shifts:
+        sel = (mvy == s)[..., None, None]
+        win_rows = jnp.where(
+            sel, cells[:, :, pad + s - r : pad + s - r + wh, :], win_rows
+        )
+    # cols: same horizontally
+    windows = jnp.zeros((mfh, mfw, wh, ww), jnp.int16)
+    for s in shifts:
+        sel = (mvx == s)[..., None, None]
+        windows = jnp.where(
+            sel, win_rows[:, :, :, pad + s - r : pad + s - r + ww], windows
+        )
+
+    # all (2r+1)^2 candidates are static slices of the selected windows
+    anchor_blocks = (
+        anchor.reshape(mfh, block_h, mfw, block_w)
+        .transpose(0, 2, 1, 3)
+        .astype(jnp.int16)
+    )
+    mads = []
+    for oy in range(2 * r + 1):
+        for ox in range(2 * r + 1):
+            cand = windows[:, :, oy : oy + block_h, ox : ox + block_w]
+            sad = jnp.sum(
+                jnp.abs(cand - anchor_blocks).astype(jnp.int32), axis=(2, 3)
+            )
+            mads.append(sad.astype(jnp.float32) / jnp.float32(area))
+    mads = jnp.stack(mads)
+
+    return _refine_select(
+        mads, mv_field, min_mad, r, block_w, block_h, fh, fw
+    )
+
+
 def _refine_table(
     tracked, anchor, r, block_w, block_h, mv_field, min_mad, radius
 ):
@@ -404,14 +552,16 @@ def hbma(
         block_h // factor,
     )
 
-    # static bound on |mv| components, tightened per level: doubling plus
-    # the refinement range — lets refine() use the dense SAD-table path
-    mv_bound = top_range
+    # static bound on |mv| components, tightened per level: the MV entering
+    # each refinement is a doubled integer field, so its window positions
+    # are even shifts in [-bound_in, bound_in] — the spread-cell path turns
+    # each into one masked static slice (no gathers)
+    bound = top_range
     for lvl in range(level_count - 2, -1, -1):
         scale = 1 << lvl
         mv = mv * 2.0
-        mv_bound = 2 * mv_bound + top_range
-        mv, min_mad = refine(
+        bound_in = 2 * bound
+        mv, min_mad = _refine_spread(
             tracked_pyramid[lvl],
             anchor_pyramid[lvl],
             top_range,
@@ -419,8 +569,9 @@ def hbma(
             block_h // scale,
             mv,
             min_mad,
-            mv_bound=mv_bound,
+            bound_in=bound_in,
         )
+        bound = bound_in + top_range
     return mv, min_mad
 
 

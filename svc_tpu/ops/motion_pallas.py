@@ -1,0 +1,207 @@
+"""Pallas TPU kernel for the HBMA candidate-MAD search.
+
+This is the framework's counterpart of the reference's SSE2 MAD kernels
+(``Mad16x16Sse2``/``Mad8x8Sse2`` with ``_mm_sad_epu8``,
+libs/motion.cpp:472-550) — the innermost hot loop of the codec
+(SURVEY.md §3.1). Where the SSE2 code evaluates one candidate block pair
+per call, this kernel evaluates EVERY candidate of EVERY block in a block
+row per grid step, entirely out of VMEM:
+
+1. Per block row, a *motion-compensated extended strip* is assembled in a
+   VMEM scratch: for each block, one dynamic-slice copy of its
+   ``(bh + 2r, bw + 2r)`` search window from the (VMEM-resident) tracked
+   frame, positioned by the block's propagated MV (read from SMEM). Blocks
+   get disjoint ``bw + 2r``-wide cells, so windows never collide.
+2. Every search offset ``(oy, ox)`` then becomes a *static* slice of the
+   scratch, absolute-differenced against a pre-spread anchor strip across
+   the full vector width — dense VPU work with no per-block control.
+3. Column sums are reduced to per-block SADs by one 0/1 indicator matmul
+   on the MXU (float32: SADs <= block_area * 255 < 2**24, exact).
+
+HBM traffic per frame is one read of each luma plane plus the tiny SAD
+output — versus re-reading the frame per candidate in the XLA fallback.
+
+The kernel computes raw SADs only; MAD normalization and the reference's
+exact sequential selection semantics (tie-breaks Q8, flat-region rule Q6,
+cross-level carry) stay in ``ops.motion``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _col_indicator(mfw: int, bw: int, r: int) -> np.ndarray:
+    """(strip_width, mfw) 0/1 matrix selecting each block's anchor columns."""
+    cw = bw + 2 * r
+    width = mfw * cw
+    ind = np.zeros((width, mfw), np.float32)
+    for j in range(mfw):
+        ind[j * cw + r : j * cw + r + bw, j] = 1.0
+    return ind
+
+
+def _spread_anchor(anchor: jnp.ndarray, mfw: int, bw: int, r: int) -> jnp.ndarray:
+    """Spread ``(T, H, W)`` anchor cols into ``bw + 2r``-wide cells.
+
+    Block j's columns land at ``[j*cw + r, j*cw + r + bw)`` — aligned with
+    its window cell in the kernel scratch. Pad columns are zero; the
+    indicator matmul ignores them.
+    """
+    t, h, w = anchor.shape
+    cells = anchor.reshape(t, h, mfw, bw)
+    cells = jnp.pad(cells, ((0, 0), (0, 0), (0, 0), (r, r)))
+    return cells.reshape(t, h, mfw * (bw + 2 * r))
+
+
+def _sad_kernel(mv_ref, tracked_ref, anchor_ref, colind_ref, out_ref, acc_ref):
+    """One program = all candidates of one block row of one frame."""
+    shape = out_ref.shape  # (1, 1, ncand, mfw)
+    ncand, mfw = shape[2], shape[3]
+    side = int(np.sqrt(ncand))
+    r = (side - 1) // 2
+    strip_h, strip_w = acc_ref.shape  # scratch strip: (bh + 2r, mfw*cw)
+    bh = strip_h - 2 * r
+    cw = strip_w // mfw
+    bw = cw - 2 * r
+
+    i = pl.program_id(1)
+
+    anchor = anchor_ref[0]  # (bh, strip_w) int16, spread layout
+
+    def build(j, _):
+        my = mv_ref[0, 0, j, 1]
+        mx = mv_ref[0, 0, j, 0]
+        # tracked frame is pre-padded by PAD = bound + r on each side, so
+        # window starts are always in range
+        row0 = i * bh + my
+        col0 = j * bw + mx
+        window = tracked_ref[0, pl.ds(row0, strip_h), pl.ds(col0, cw)]
+        acc_ref[:, pl.ds(j * cw, cw)] = window
+        return 0
+
+    jax.lax.fori_loop(0, mfw, build, 0, unroll=1)
+
+    strip = acc_ref[...]
+    base = anchor[:, r : strip_w - r]
+    for oy in range(side):
+        for ox in range(side):
+            cand = strip[oy : oy + bh, ox : ox + strip_w - 2 * r]
+            diff = jnp.abs(cand - base).astype(jnp.float32)
+            colsum = jnp.sum(diff, axis=0, keepdims=True)  # (1, W')
+            sad = jnp.dot(
+                colsum,
+                colind_ref[...],
+                preferred_element_type=jnp.float32,
+            )  # (1, mfw)
+            out_ref[0, 0, oy * side + ox, :] = sad[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_range", "block_w", "block_h", "mv_pad"),
+)
+def candidate_sads(
+    tracked: jnp.ndarray,
+    anchor: jnp.ndarray,
+    mv_round: jnp.ndarray,
+    search_range: int,
+    block_w: int,
+    block_h: int,
+    mv_pad: int,
+) -> jnp.ndarray:
+    """Per-block SADs for all ``(2r+1)^2`` candidate offsets around each
+    block's propagated position.
+
+    Args:
+      tracked/anchor: ``(T, H, W)`` uint8 luma planes.
+      mv_round: ``(T, mfh, mfw, 2)`` int32 propagated MVs (x, y); pass
+        zeros for an exhaustive search around the anchor grid.
+      search_range: r; offsets scan ``[-r, r]^2`` in raster order.
+      mv_pad: static bound on ``|mv_round|`` components (0 for EBMA).
+
+    Returns:
+      ``(T, (2r+1)^2, mfh, mfw)`` float32 SADs, raster offset order.
+      Entries whose windows fall outside the frame are garbage — callers
+      mask them (exactly like the reference skips clamped candidates).
+    """
+    t, h, w = tracked.shape
+    r = search_range
+    bw, bh = block_w, block_h
+    mfh, mfw = h // bh, w // bw
+    side = 2 * r + 1
+    ncand = side * side
+    cw = bw + 2 * r
+    strip_w = mfw * cw
+
+    pad = mv_pad + r
+    tracked_pad = jnp.pad(
+        tracked.astype(jnp.int16), ((0, 0), (pad, pad), (pad, pad)),
+        constant_values=0,
+    )
+    anchor_spread = _spread_anchor(anchor, mfw, bw, r).astype(jnp.int16)
+    # kernel slices cols [r, r + strip_w - 2r) of the spread strips; the
+    # indicator must use that slice's coordinates
+    colind = jnp.asarray(_col_indicator(mfw, bw, r)[r : strip_w - r])
+
+    # the kernel addresses tracked with (i*bh + my, j*bw + mx) relative to
+    # a frame origin shifted by (pad - r): fold that shift into mv
+    mv_shifted = mv_round + (pad - r)
+
+    grid = (t, mfh)
+    kernel = pl.pallas_call(
+        _sad_kernel,
+        grid=grid,
+        in_specs=[
+                pl.BlockSpec(
+                    (1, 1, mfw, 2),
+                    lambda ti, i: (ti, i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, h + 2 * pad, w + 2 * pad),
+                    lambda ti, i: (ti, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bh, strip_w),
+                    lambda ti, i: (ti, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (strip_w - 2 * r, mfw),
+                    lambda ti, i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ncand, mfw),
+            lambda ti, i: (ti, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, mfh, ncand, mfw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bh + 2 * r, strip_w), jnp.int16)],
+        interpret=(jax.default_backend() == "cpu"),
+    )
+    out = kernel(
+        mv_shifted.reshape(t, mfh, mfw, 2),
+        tracked_pad,
+        anchor_spread,
+        colind,
+    )
+    return jnp.moveaxis(out, 1, 2)  # -> (t, ncand, mfh, mfw)
+
+
+def pallas_supported(
+    search_range: int, block_w: int, block_h: int, mfw: int
+) -> bool:
+    """Shape gate for the kernel: modest unroll, lane-friendly strips."""
+    side = 2 * search_range + 1
+    return side * side <= 81 and mfw * (block_w + 2 * search_range) >= 128
