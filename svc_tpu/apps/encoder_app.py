@@ -127,23 +127,30 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     encoder = Encoder(cfg.encoder, props, batch_size=cfg.batch_size)
 
-    out = (
-        open(cfg.output, "wb") if cfg.output else sys.stdout.buffer
-    )
-
     if cfg.visualize:
         from svc_tpu.visualize import VisualizingEncoder
 
         encoder = VisualizingEncoder(encoder, cfg.visualize)
 
+    from svc_tpu.runtime import native
+
     try:
-        # 3-stage pipeline: reader thread -> encode (main) -> writer thread
-        # (the reference's thread layout, apps/encoder.cpp:223-228)
+        # 3-stage pipeline: reader thread -> encode (main) -> writer
+        # (the reference's thread layout, apps/encoder.cpp:223-228); the
+        # writer stage is the native C++ queue+thread when available
         def produce(q: BoundedQueue) -> None:
             for frame in reader:
                 q.push(frame)
 
         def consume(q: BoundedQueue) -> None:
+            if native.available():
+                with native.NativeWriter(cfg.output, capacity=10) as w:
+                    for chunk in encoder.encode_video(iter(q)):
+                        w.push(chunk)
+                return
+
+            out = open(cfg.output, "wb") if cfg.output else sys.stdout.buffer
+
             def write_all(wq: BoundedQueue) -> None:
                 for chunk in encoder.encode_video(iter(q)):
                     wq.push(chunk)
@@ -152,12 +159,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 for chunk in wq:
                     out.write(chunk)
 
-            pipeline_threads(write_all, drain, capacity=10)
+            try:
+                pipeline_threads(write_all, drain, capacity=10)
+            finally:
+                if cfg.output:
+                    out.close()
 
         pipeline_threads(produce, consume, capacity=10)
     finally:
-        if cfg.output:
-            out.close()
         reader.close()
     return 0
 

@@ -159,6 +159,13 @@ def serialize_frame(
         mv_field_block_types, pw, ph, tbw, tbh, mv_block_w, mv_block_h
     ).astype(np.uint32)
 
+    # native C++ hot path when available (svc_tpu.runtime.native)
+    from svc_tpu.runtime import native as _native
+
+    raw = _native.serialize_frame_native(dct_coeffs, types, tbw, tbh)
+    if raw is not None:
+        return raw
+
     # (C, nby, tbh, nbx, tbw) -> (nby, nbx, C, tbh, tbw)
     blocks = (
         dct_coeffs.astype(np.float32, copy=False)
@@ -195,6 +202,12 @@ def deserialize_frame(
     expected = nblocks * block_bytes
     if len(data) < expected:
         raise ValueError("failed to read all expected blocks")
+
+    from svc_tpu.runtime import native as _native
+
+    parsed = _native.deserialize_frame_native(data, c, ph, pw, tbw, tbh)
+    if parsed is not None:
+        return parsed
 
     raw = np.frombuffer(data, dtype=np.uint8, count=expected).reshape(
         nblocks, block_bytes
