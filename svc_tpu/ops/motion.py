@@ -598,6 +598,15 @@ def estimate_global_motion_exhaustive(
     the two frames; strict ``<`` keeps the first minimum in raster order
     (``EstimateGlobalMotionExhaustiveSearch``, libs/motion.cpp:55-99).
 
+    Deliberate divergence (quirk E9, found by golden testing): the
+    reference's displacement loops compare a signed index against the
+    UNSIGNED search range (``dy <= search_range`` with uint range,
+    libs/motion.cpp:72,81), so for any ``search_range >= 1`` the negative
+    start index converts to a huge unsigned value and the loop never runs —
+    the function is a no-op returning zero motion and FLT_MAX (consistent
+    with it being dead code w.r.t. the reference apps). This
+    implementation performs the search as documented.
+
     Returns ``(global_motion, min_mad)``.
     """
     fh, fw = tracked.shape
