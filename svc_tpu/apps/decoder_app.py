@@ -40,6 +40,8 @@ class _AppConfig:
         self.gaze_trajectory: Optional[str] = None
         self.batch_size = 8
         self.show = 0
+        self.start_frame = 0
+        self.max_frames = 0  # 0 = all
 
 
 def _opts(c: _AppConfig) -> List[cli.Opt]:
@@ -58,6 +60,10 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.Opt("gaze-trajectory", S, fs(c, "gaze_trajectory")),
         cli.Opt("batch-size", U, fs(c, "batch_size")),
         cli.Opt("show", I, fs(c, "show")),
+        # random access: every block has identical wire size, so frames
+        # are seekable
+        cli.Opt("start-frame", U, fs(c, "start_frame")),
+        cli.Opt("max-frames", U, fs(c, "max_frames")),
     ]
 
 
@@ -117,10 +123,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.show:
         return _run_gui(cfg, decoder, stream, header)
 
-    gazes = _parse_gazes(cfg, header.frame_count)
+    start = min(cfg.start_frame, header.frame_count)
+    count = header.frame_count - start
+    if cfg.max_frames:
+        count = min(count, cfg.max_frames)
+    bitstream.seek_to_frame(stream, header, start)
+
+    gazes = _parse_gazes(cfg, header.frame_count)[start : start + count]
     frames = list(
         decoder.decode_frames(
-            bitstream.read_frames(stream, header), iter(gazes)
+            bitstream.read_frames(stream, header, count), iter(gazes)
         )
     )
     video = (

@@ -38,6 +38,11 @@ class _AppConfig:
         self.output: Optional[str] = None
         self.batch_size = 8
         self.visualize: Optional[str] = None
+        self.start_frame = 0
+        self.max_frames = 0  # 0 = all
+        self.no_header = 0
+        self.trace: Optional[str] = None
+        self.profile: Optional[str] = None
 
 
 def _opts(c: _AppConfig) -> List[cli.Opt]:
@@ -82,6 +87,14 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.Opt("output", S, fs(c, "output")),
         cli.Opt("batch-size", U, fs(c, "batch_size")),
         cli.Opt("visualize", S, fs(c, "visualize")),
+        # resume/checkpoint: payload index to resume from (the bitstream is
+        # random-access; encoder state is only the previous frame)
+        cli.Opt("start-frame", U, fs(c, "start_frame")),
+        cli.Opt("max-frames", U, fs(c, "max_frames")),
+        cli.Opt("no-header", I, fs(c, "no_header")),
+        # observability
+        cli.Opt("trace", S, fs(c, "trace")),
+        cli.Opt("profile", S, fs(c, "profile")),
     ]
 
 
@@ -133,6 +146,34 @@ def main(argv: Optional[List[str]] = None) -> int:
         encoder = VisualizingEncoder(encoder, cfg.visualize)
 
     from svc_tpu.runtime import native
+    from svc_tpu.runtime.tracing import Tracer, device_profile
+
+    tracer = Tracer(enabled=bool(cfg.trace))
+
+    # resume/partial-encode accounting: payload k encodes source frame k+1
+    total_payloads = max(props.frame_count - 1, 0)
+    start = min(cfg.start_frame, total_payloads)
+    n_payloads = total_payloads - start
+    if cfg.max_frames:
+        n_payloads = min(n_payloads, cfg.max_frames)
+
+    def frames_from(q):
+        it = iter(q)
+        for _ in range(start):  # skip up to the overlap frame
+            next(it, None)
+        for i, frame in enumerate(it):
+            if i > n_payloads:  # overlap frame + payload frames
+                break
+            yield frame
+
+    def encode_stream(q):
+        return encoder.encode_video(
+            frames_from(q),
+            emit_header=not cfg.no_header,
+            header_frame_count=n_payloads,
+            first_anchor_index=start,
+            tracer=tracer if cfg.trace else None,
+        )
 
     try:
         # 3-stage pipeline: reader thread -> encode (main) -> writer
@@ -145,14 +186,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         def consume(q: BoundedQueue) -> None:
             if native.available():
                 with native.NativeWriter(cfg.output, capacity=10) as w:
-                    for chunk in encoder.encode_video(iter(q)):
+                    for chunk in encode_stream(q):
                         w.push(chunk)
                 return
 
             out = open(cfg.output, "wb") if cfg.output else sys.stdout.buffer
 
             def write_all(wq: BoundedQueue) -> None:
-                for chunk in encoder.encode_video(iter(q)):
+                for chunk in encode_stream(q):
                     wq.push(chunk)
 
             def drain(wq: BoundedQueue) -> None:
@@ -165,9 +206,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if cfg.output:
                     out.close()
 
-        pipeline_threads(produce, consume, capacity=10)
+        with device_profile(cfg.profile):
+            pipeline_threads(produce, consume, capacity=10)
     finally:
         reader.close()
+
+    if cfg.trace:
+        tracer.dump(cfg.trace)
+        print(tracer.report(), file=sys.stderr)
     return 0
 
 

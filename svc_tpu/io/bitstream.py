@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import BinaryIO, Iterator, Tuple
+from typing import BinaryIO, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -220,14 +220,48 @@ def deserialize_frame(
     return types, coeffs
 
 
-def read_frames(stream: BinaryIO, header: Header) -> Iterator[bytes]:
+def read_frames(
+    stream: BinaryIO, header: Header, count: Optional[int] = None
+) -> Iterator[bytes]:
     """Yield raw frame payloads from a bitstream (after the header).
 
     Mirrors the decoder app's fixed-size reader loop
     (apps/decoder.cpp:59-85) but chunked per frame instead of per block.
     """
-    for _ in range(header.frame_count):
+    n = header.frame_count if count is None else count
+    for _ in range(n):
         data = stream.read(header.frame_byte_count)
         if len(data) < header.frame_byte_count:
             raise ValueError("failed to read block")
         yield data
+
+
+def frame_offset(header: Header, frame_index: int) -> int:
+    """Byte offset of frame ``frame_index``'s payload.
+
+    Every block has identical wire size (apps/decoder.cpp:59-64), so the
+    stream is random-access — the seek/resume capability the reference
+    lacks (SURVEY.md §5: "seekable in principle ... no seeking/resume is
+    implemented").
+    """
+    return HEADER_SIZE + frame_index * header.frame_byte_count
+
+
+def seek_to_frame(stream: BinaryIO, header: Header, frame_index: int) -> None:
+    """Position a stream (already past the header) at ``frame_index``.
+
+    Seeks when the stream supports it, otherwise skip-reads — so resume
+    works on both files and pipes.
+    """
+    if frame_index == 0:
+        return
+    if stream.seekable():
+        stream.seek(frame_offset(header, frame_index))
+        return
+    remaining = frame_index * header.frame_byte_count
+    chunk = 1 << 20
+    while remaining > 0:
+        got = stream.read(min(chunk, remaining))
+        if not got:
+            raise ValueError("failed to read block")
+        remaining -= len(got)

@@ -39,7 +39,7 @@ Parity decisions (SURVEY.md §2.1):
 from __future__ import annotations
 
 import functools
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -263,12 +263,14 @@ class Encoder:
     # host API
     # ------------------------------------------------------------------
 
-    def header(self) -> bitstream.Header:
+    def header(self, frame_count: Optional[int] = None) -> bitstream.Header:
         """Bitstream header; first frame is reference-only so the stream
-        carries ``frame_count - 1`` frames (libs/encoder.cpp:360-381)."""
-        frame_count = self.vidprops.frame_count
-        if frame_count > 0:
-            frame_count -= 1
+        carries ``frame_count - 1`` frames (libs/encoder.cpp:360-381).
+        ``frame_count`` overrides the payload count for partial encodes."""
+        if frame_count is None:
+            frame_count = self.vidprops.frame_count
+            if frame_count > 0:
+                frame_count -= 1
         return bitstream.Header(
             frame_count=frame_count,
             frame_w=self.vidprops.frame_w,
@@ -293,38 +295,69 @@ class Encoder:
         return self._encode_batch(jnp.asarray(frames_bgr), keys)
 
     def encode_video(
-        self, frames: Iterator[np.ndarray], on_batch=None
+        self,
+        frames: Iterator[np.ndarray],
+        on_batch=None,
+        emit_header: bool = True,
+        header_frame_count: Optional[int] = None,
+        first_anchor_index: int = 0,
+        tracer=None,
     ) -> Iterator[bytes]:
         """Stream encode: yields the header, then one payload per anchor
         frame. The batch shape is fixed so the pipeline compiles once;
         the final partial batch is padded and its surplus discarded.
 
         ``on_batch(first_anchor_index, outputs, n_valid)`` is an optional
-        observability hook (used by the visualizer)."""
-        yield self.header().pack()
+        observability hook (used by the visualizer); ``tracer`` records
+        device/serialize spans (runtime.tracing.Tracer).
+        ``emit_header=False`` plus ``first_anchor_index`` support
+        resuming a partially written stream — the codec state for frame t
+        is only frame t-1 (libs/encoder.cpp:661-663), so the caller just
+        feeds frames starting one before the resume point.
+        """
+        if emit_header:
+            yield self.header(header_frame_count).pack()
 
         window: List[np.ndarray] = []
-        anchor_index = 0
+        anchor_index = first_anchor_index
         batch = self.batch_size
 
         def run(window_frames: List[np.ndarray], n_valid: int):
             nonlocal anchor_index
             arr = np.stack(window_frames)
-            out = self.encode_batch(arr, anchor_index)
-            coeffs = np.asarray(out["coeffs"])
-            btypes = np.asarray(out["block_types"])
+            if tracer is not None:
+                with tracer.span("device_encode", frames=n_valid):
+                    out = self.encode_batch(arr, anchor_index)
+                    coeffs = np.asarray(out["coeffs"])
+                    btypes = np.asarray(out["block_types"])
+            else:
+                out = self.encode_batch(arr, anchor_index)
+                coeffs = np.asarray(out["coeffs"])
+                btypes = np.asarray(out["block_types"])
             if on_batch is not None:
                 on_batch(anchor_index, out, n_valid)
             anchor_index += n_valid
             for i in range(n_valid):
-                yield bitstream.serialize_frame(
-                    coeffs[i],
-                    btypes[i],
-                    self.cfg.transform_block_w,
-                    self.cfg.transform_block_h,
-                    self.cfg.mv_block_w,
-                    self.cfg.mv_block_h,
-                )
+                if tracer is not None:
+                    with tracer.span("serialize"):
+                        payload = bitstream.serialize_frame(
+                            coeffs[i],
+                            btypes[i],
+                            self.cfg.transform_block_w,
+                            self.cfg.transform_block_h,
+                            self.cfg.mv_block_w,
+                            self.cfg.mv_block_h,
+                        )
+                else:
+                    payload = bitstream.serialize_frame(
+                        coeffs[i],
+                        btypes[i],
+                        self.cfg.transform_block_w,
+                        self.cfg.transform_block_h,
+                        self.cfg.mv_block_w,
+                        self.cfg.mv_block_h,
+                    )
+                yield payload
 
         for frame in frames:
             window.append(np.asarray(frame, dtype=np.uint8))

@@ -123,7 +123,7 @@ class VisualizingEncoder:
         except ImportError:
             self._imwrite = lambda p, img: np.save(p + ".npy", img)
 
-    def encode_video(self, frames, on_batch=None):
+    def encode_video(self, frames, on_batch=None, **kwargs):
         def dump(first_index, out, n_valid):
             frames_np = np.asarray(out["padded_frames"])
             mv = np.asarray(out["mv_field"])
@@ -146,4 +146,4 @@ class VisualizingEncoder:
             if on_batch is not None:
                 on_batch(first_index, out, n_valid)
 
-        yield from self.encoder.encode_video(frames, on_batch=dump)
+        yield from self.encoder.encode_video(frames, on_batch=dump, **kwargs)
