@@ -83,6 +83,23 @@ long long svc_deserialize_frame(const uint8_t* data, int channels,
   return p - data;
 }
 
+// Serialize a frame whose coefficients are already in wire block layout
+// (nby, nbx, channels, tb_h, tb_w) — the per-block payload is contiguous,
+// so this is a strided memcpy interleaving the 4 type bytes.
+long long svc_serialize_blocks(const float* blocks, const uint32_t* types,
+                               long long n_blocks, long long block_floats,
+                               uint8_t* out) {
+  uint8_t* p = out;
+  const long long payload = block_floats * (long long)sizeof(float);
+  for (long long b = 0; b < n_blocks; ++b) {
+    std::memcpy(p, &types[b], 4);
+    p += 4;
+    std::memcpy(p, blocks + b * block_floats, payload);
+    p += payload;
+  }
+  return p - out;
+}
+
 // ---------------------------------------------------------------------------
 // Pipelined bitstream writer: a bounded queue + writer thread, the native
 // equivalent of CircularQueue<std::vector<uchar>> + the Writer functor

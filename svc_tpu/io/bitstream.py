@@ -181,6 +181,70 @@ def serialize_frame(
     return out.tobytes()
 
 
+def serialize_frame_blocks(
+    coeff_blocks: np.ndarray,
+    mv_field_block_types: np.ndarray,
+    mv_block_w: int,
+    mv_block_h: int,
+) -> bytes:
+    """Serialize coefficients already in wire block layout.
+
+    Args:
+      coeff_blocks: ``(nby, nbx, C, bh, bw)`` float32 — each transform
+        block contiguous, exactly the wire's per-block payload order.
+      mv_field_block_types: ``(mv_field_h, mv_field_w)`` uint32.
+
+    The per-block payload is a straight memcpy; only the 4 type bytes are
+    interleaved.
+    """
+    nby, nbx, c, tbh, tbw = coeff_blocks.shape
+    nblocks = nby * nbx
+    types = block_types_for_transform_grid(
+        mv_field_block_types, nbx * tbw, nby * tbh, tbw, tbh,
+        mv_block_w, mv_block_h,
+    ).astype(np.uint32)
+
+    from svc_tpu.runtime import native as _native
+
+    raw = _native.serialize_blocks_native(coeff_blocks, types)
+    if raw is not None:
+        return raw
+
+    flat = np.ascontiguousarray(
+        coeff_blocks.astype(np.float32, copy=False)
+    ).reshape(nblocks, c * tbh * tbw)
+    block_bytes = 4 + 4 * c * tbh * tbw
+    out = np.empty((nblocks, block_bytes), dtype=np.uint8)
+    out[:, :4] = types.reshape(nblocks, 1).view(np.uint8).reshape(nblocks, 4)
+    out[:, 4:] = flat.view(np.uint8)
+    return out.tobytes()
+
+
+def deserialize_frame_blocks(
+    data: bytes, header: Header
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse one frame's wire bytes into block layout.
+
+    Returns ``(block_types (nby, nbx) uint32,
+    coeff_blocks (nby, nbx, C, bh, bw) float32)``.
+    """
+    tbw, tbh = header.transform_block_w, header.transform_block_h
+    c = header.channel_count
+    pw, ph = header.padded_frame_w, header.padded_frame_h
+    nby, nbx = ph // tbh, pw // tbw
+    nblocks = nby * nbx
+    block_bytes = header.block_byte_count
+    expected = nblocks * block_bytes
+    if len(data) < expected:
+        raise ValueError("failed to read all expected blocks")
+    raw = np.frombuffer(data, dtype=np.uint8, count=expected).reshape(
+        nblocks, block_bytes
+    )
+    types = raw[:, :4].copy().view(np.uint32).reshape(nby, nbx)
+    blocks = raw[:, 4:].copy().view(np.float32).reshape(nby, nbx, c, tbh, tbw)
+    return types, blocks
+
+
 def deserialize_frame(
     data: bytes,
     header: Header,

@@ -24,7 +24,7 @@ import numpy as np
 
 from svc_tpu.config import DecoderConfig
 from svc_tpu.io import bitstream
-from svc_tpu.ops.dct import idct2_blockwise
+from svc_tpu.ops.dct import idct2_from_wire_blocks
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
 from svc_tpu.utils.mathx import round_half_away_from_zero
@@ -84,7 +84,7 @@ class Decoder:
         tbw, tbh = h.transform_block_w, h.transform_block_h
 
         def decode_batch(
-            coeffs: jnp.ndarray,  # (T, C, PH, PW) float32
+            coeffs: jnp.ndarray,  # (T, nby, nbx, C, bh, bw) float32
             block_types: jnp.ndarray,  # (T, nby, nbx) uint32
             gaze_rects: jnp.ndarray,  # (T, 4) int32 — padded space (x,y,w,h)
         ) -> jnp.ndarray:
@@ -108,13 +108,9 @@ class Decoder:
                     cfg.foreground_quant_step,
                     cfg.background_quant_step,
                 )
-                # expand per-block steps to pixel granularity
-                steps_px = jnp.repeat(
-                    jnp.repeat(steps, tbh, axis=0), tbw, axis=1
-                )
-                deq = quantize(c, steps_px[None, :, :])
-                planes = idct2_blockwise(deq, tbw, tbh)
-                frame = jnp.moveaxis(planes, 0, -1)  # (PH, PW, C), BGR
+                # per-block steps broadcast directly in block layout
+                deq = quantize(c, steps[:, :, None, None, None])
+                frame = idct2_from_wire_blocks(deq)  # (PH, PW, C), BGR
                 # display path: /255, bilinear resize to original size,
                 # imshow (libs/decoder.cpp:208-211); the /255 and the
                 # implicit *255 of display cancel — resize in 0..255 space
@@ -185,7 +181,9 @@ class Decoder:
             return res
 
         for payload in payloads:
-            types, coeffs = bitstream.deserialize_frame(payload, self.header)
+            types, coeffs = bitstream.deserialize_frame_blocks(
+                payload, self.header
+            )
             gaze = next(gazes) if gazes is not None else None
             buf_c.append(coeffs)
             buf_t.append(types)

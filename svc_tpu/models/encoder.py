@@ -49,7 +49,7 @@ from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
 from svc_tpu.ops.ccl import connected_components_batched
 from svc_tpu.ops.color import bgr_to_y
-from svc_tpu.ops.dct import dct2_blockwise_nhwc
+from svc_tpu.ops.dct import dct2_to_wire_blocks
 from svc_tpu.ops.kmeans import kmeans
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma
@@ -215,8 +215,10 @@ class Encoder:
             )
 
             # blockwise DCT on float BGR channels of the anchor frames
-            # (libs/encoder.cpp:638-640); channel order = cv::split order
-            coeffs = dct2_blockwise_nhwc(
+            # (libs/encoder.cpp:638-640; channel order = cv::split order),
+            # emitted directly in wire block layout (T, nby, nbx, C, bh, bw)
+            # so host serialization is a memcpy
+            coeffs = dct2_to_wire_blocks(
                 anchor_padded, cfg.transform_block_w, cfg.transform_block_h
             )
 
@@ -340,20 +342,16 @@ class Encoder:
             for i in range(n_valid):
                 if tracer is not None:
                     with tracer.span("serialize"):
-                        payload = bitstream.serialize_frame(
+                        payload = bitstream.serialize_frame_blocks(
                             coeffs[i],
                             btypes[i],
-                            self.cfg.transform_block_w,
-                            self.cfg.transform_block_h,
                             self.cfg.mv_block_w,
                             self.cfg.mv_block_h,
                         )
                 else:
-                    payload = bitstream.serialize_frame(
+                    payload = bitstream.serialize_frame_blocks(
                         coeffs[i],
                         btypes[i],
-                        self.cfg.transform_block_w,
-                        self.cfg.transform_block_h,
                         self.cfg.mv_block_w,
                         self.cfg.mv_block_h,
                     )

@@ -51,30 +51,29 @@ def connected_components_batched(
     big = jnp.int32(n)  # sentinel for background / out of mask
     labels = jnp.where(masks, idx, big)
 
-    if connectivity == 4:
-        shifts = ((0, 1), (0, -1), (1, 0), (-1, 0))
-    else:
-        shifts = (
-            (0, 1), (0, -1), (1, 0), (-1, 0),
-            (1, 1), (1, -1), (-1, 1), (-1, -1),
+    def _win_min(lab, window):
+        return jax.lax.reduce_window(
+            lab,
+            big,
+            jax.lax.min,
+            window_dimensions=window,
+            window_strides=(1, 1, 1),
+            padding="SAME",
         )
 
-    pad_cfg = [(0, 0, 0), (1, 1, 0), (1, 1, 0)]
-
     def neighbor_min(lab):
-        # pad with the sentinel so border-crossing shifts are inert
-        padded = jax.lax.pad(lab, big, pad_cfg)
-        m = lab
-        for dy, dx in shifts:
-            shifted = jax.lax.dynamic_slice(
-                padded, (0, 1 + dy, 1 + dx), (b, h, w)
+        if connectivity == 4:
+            m = jnp.minimum(
+                _win_min(lab, (1, 3, 1)), _win_min(lab, (1, 1, 3))
             )
-            m = jnp.minimum(m, shifted)
+        else:
+            m = _win_min(lab, (1, 3, 3))
         return jnp.where(masks, m, big)
 
     def body(state):
         lab, _ = state
-        new = neighbor_min(lab)
+        # several cheap dense sweeps per (gather-bound) pointer jump
+        new = neighbor_min(neighbor_min(neighbor_min(lab)))
         # pointer jumping: follow the label chain one extra hop per sweep
         flat = new.reshape(b, n)
         flat_ext = jnp.concatenate(

@@ -93,6 +93,50 @@ def dct2_blockwise_nhwc(
     return out.reshape(t, c, h, w)
 
 
+def dct2_to_wire_blocks(
+    frames: jnp.ndarray, block_w: int, block_h: int
+) -> jnp.ndarray:
+    """Forward blockwise DCT of uint8 ``(T, H, W, C)`` frames directly into
+    the bitstream's block layout ``(T, nby, nbx, C, bh, bw)``.
+
+    The wire format stores each transform block contiguously (type, then
+    per-channel coefficient rows — libs/encoder.cpp:243-265), so producing
+    this layout on device turns host serialization into a plain memcpy and
+    avoids materializing transposed float frame copies.
+    """
+    t, h, w, c = frames.shape
+    dh = jnp.asarray(dct_matrix(block_h))
+    dw = jnp.asarray(dct_matrix(block_w))
+    blocks = frames.reshape(
+        t, h // block_h, block_h, w // block_w, block_w, c
+    ).astype(jnp.float32)
+    return jnp.einsum(
+        "ki,tyixjc,lj->tyxckl",
+        dh,
+        blocks,
+        dw,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def idct2_from_wire_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``dct2_to_wire_blocks`` for one frame:
+    ``(nby, nbx, C, bh, bw)`` coefficients -> ``(H, W, C)`` float pixels."""
+    nby, nbx, c, bh, bw = blocks.shape
+    dh = jnp.asarray(dct_matrix(bh))
+    dw = jnp.asarray(dct_matrix(bw))
+    out = jnp.einsum(
+        "ik,yxcij,jl->ykxlc",
+        dh,
+        blocks,
+        dw,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(nby * bh, nbx * bw, c)
+
+
 def idct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarray:
     """Inverse blockwise 2-D DCT (DCT-III) of float32 ``(..., H, W)``."""
     dh = jnp.asarray(dct_matrix(block_h))

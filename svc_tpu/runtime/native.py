@@ -68,6 +68,11 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.svc_serialize_blocks.restype = ctypes.c_longlong
+        lib.svc_serialize_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+        ]
         lib.svc_writer_open.restype = ctypes.c_void_p
         lib.svc_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.svc_writer_push.restype = ctypes.c_int
@@ -102,6 +107,28 @@ def serialize_frame_native(
     out = np.empty(nblocks * (4 + 4 * tb_w * tb_h * c), np.uint8)
     n = lib.svc_serialize_frame(
         coeffs.ctypes.data, types.ctypes.data, c, ph, pw, tb_w, tb_h,
+        out.ctypes.data,
+    )
+    assert n == out.nbytes
+    return out.tobytes()
+
+
+def serialize_blocks_native(
+    coeff_blocks: np.ndarray, types: np.ndarray
+) -> Optional[bytes]:
+    """Native serialization for wire-block-layout coefficients
+    ``(nby, nbx, C, bh, bw)`` — contiguous per-block memcpy."""
+    lib = load()
+    if lib is None:
+        return None
+    blocks = np.ascontiguousarray(coeff_blocks, dtype=np.float32)
+    types = np.ascontiguousarray(types, dtype=np.uint32)
+    nby, nbx, c, tbh, tbw = blocks.shape
+    n_blocks = nby * nbx
+    block_floats = c * tbh * tbw
+    out = np.empty(n_blocks * (4 + 4 * block_floats), np.uint8)
+    n = lib.svc_serialize_blocks(
+        blocks.ctypes.data, types.ctypes.data, n_blocks, block_floats,
         out.ctypes.data,
     )
     assert n == out.nbytes
