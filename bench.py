@@ -102,6 +102,33 @@ def main():
         file=sys.stderr,
     )
 
+    # decoder throughput (stderr, informational): gaze/region dequant +
+    # IDCT + merge + resize on the same batch
+    from svc_tpu.config import DecoderConfig
+    from svc_tpu.models.decoder import Decoder
+
+    import jax.numpy as jnp
+
+    dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)
+    coeffs = out["coeffs"]
+    # expand MV-grid types to the transform-block grid (wire layout)
+    ry = cfg.mv_block_h // cfg.transform_block_h
+    rx = cfg.mv_block_w // cfg.transform_block_w
+    btypes = jnp.repeat(
+        jnp.repeat(out["block_types"], ry, axis=1), rx, axis=2
+    )
+    rects = jax.device_put(
+        np.tile(np.array([600, 400, 128, 128], np.int32), (t, 1)), dev
+    )
+    sync(dec._decode_batch(coeffs, btypes, rects))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sync(dec._decode_batch(coeffs, btypes, rects))
+    print(
+        f"decode: {3 * t / (time.perf_counter() - t0):.1f} fps (on-chip)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

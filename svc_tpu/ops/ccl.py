@@ -45,10 +45,13 @@ def connected_components_batched(
         raise ValueError("connectivity must be 4 or 8")
     b, h, w = masks.shape
     n = h * w
+    # int16 labels halve propagation traffic on codec-scale grids
+    # (1080p/16px = 8160 cells); int32 for anything larger
+    ldtype = jnp.int16 if n < 32767 else jnp.int32
     idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32).reshape(1, h, w), (b, h, w)
+        jnp.arange(n, dtype=ldtype).reshape(1, h, w), (b, h, w)
     )
-    big = jnp.int32(n)  # sentinel for background / out of mask
+    big = jnp.array(n, ldtype)  # sentinel for background / out of mask
     labels = jnp.where(masks, idx, big)
 
     def _win_min(lab, window):
@@ -73,13 +76,17 @@ def connected_components_batched(
     def body(state):
         lab, _ = state
         # several cheap dense sweeps per (gather-bound) pointer jump
-        new = neighbor_min(neighbor_min(neighbor_min(lab)))
+        new = lab
+        for _ in range(5):
+            new = neighbor_min(new)
         # pointer jumping: follow the label chain one extra hop per sweep
         flat = new.reshape(b, n)
         flat_ext = jnp.concatenate(
-            [flat, jnp.full((b, 1), big, jnp.int32)], axis=1
+            [flat, jnp.full((b, 1), big, ldtype)], axis=1
         )
-        jumped = jnp.take_along_axis(flat_ext, flat, axis=1).reshape(b, h, w)
+        jumped = jnp.take_along_axis(
+            flat_ext, flat.astype(jnp.int32), axis=1
+        ).reshape(b, h, w)
         new = jnp.where(masks, jnp.minimum(jumped, new), big)
         return new, jnp.any(new != lab)
 
@@ -93,9 +100,9 @@ def connected_components_batched(
     rank_ext = jnp.concatenate([rank, jnp.zeros((b, 1), jnp.int32)], axis=1)
     canon = jnp.where(
         masks,
-        jnp.take_along_axis(rank_ext, labels.reshape(b, n), axis=1).reshape(
-            b, h, w
-        ),
+        jnp.take_along_axis(
+            rank_ext, labels.reshape(b, n).astype(jnp.int32), axis=1
+        ).reshape(b, h, w),
         0,
     )
     counts = rank[:, -1] + 1

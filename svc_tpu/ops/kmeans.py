@@ -111,10 +111,30 @@ def _lloyd_attempt(
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
 
         # empty-cluster repair: the j-th empty cluster (by index) moves onto
-        # the j-th farthest valid point — one vectorized top-k instead of a
-        # sequential argmax-and-mask loop
+        # the j-th farthest valid point; empties are rare, so find the few
+        # needed maxima with a short masked-argmax loop (cheaper than a
+        # full top-k sort every iteration)
         empty = counts == 0
-        _, far_idx = jax.lax.top_k(jnp.where(mask, point_d2, -1.0), k)
+        n_empty = jnp.sum(empty)
+
+        def take_far(i, carry):
+            far_idx, d2left = carry
+            far = jnp.argmax(d2left)
+            far_idx = far_idx.at[i].set(far)
+            d2left = jnp.where(
+                (i < n_empty)
+                & (jnp.arange(d2left.shape[0]) == far),
+                -1.0,
+                d2left,
+            )
+            return far_idx, d2left
+
+        far_idx, _ = jax.lax.fori_loop(
+            0,
+            k,
+            take_far,
+            (jnp.zeros((k,), jnp.int32), jnp.where(mask, point_d2, -1.0)),
+        )
         empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
         repair = x[far_idx[jnp.clip(empty_rank, 0, k - 1)]]
         new_centers = jnp.where(empty[:, None], repair, new_centers)

@@ -301,10 +301,11 @@ def _spread_cells(
 ) -> jnp.ndarray:
     """Spread a padded frame into per-block neighborhood cells.
 
-    Returns ``(mfh, mfw, bh + 2*pad, bw + 2*pad)`` where cell (i, j) holds
-    the frame region ``[i*bh - pad, i*bh + bh + pad) x [j*bw - pad, ...)``.
-    Built from static slices only — the TPU-friendly substitute for
-    per-block gathers.
+    Returns ``(mfh, bh + 2*pad, mfw, bw + 2*pad)`` where cell (i, :, j, :)
+    holds the frame region ``[i*bh - pad, i*bh + bh + pad) x
+    [j*bw - pad, ...)``. Built from static slices only — the TPU-friendly
+    substitute for per-block gathers — and kept in this layout (block cols
+    interleaved with pixel cols) so no transpose is ever materialized.
     """
     ph, pw = plane.shape
     fh, fw = ph - 2 * pad, pw - 2 * pad
@@ -329,8 +330,7 @@ def _spread_cells(
         seg = strips[:, :, c0 : c0 + mfw * block_w]
         seg = seg.reshape(mfh, ch, mfw, block_w)[..., :width]
         parts.append(seg)
-    cells = jnp.concatenate(parts, axis=-1)  # (mfh, ch, mfw, cw)
-    return jnp.moveaxis(cells, 1, 2)  # (mfh, mfw, ch, cw)
+    return jnp.concatenate(parts, axis=-1)  # (mfh, ch, mfw, cw)
 
 
 def _refine_spread(
@@ -348,46 +348,48 @@ def _refine_spread(
     area = float(block_w * block_h)
     pad = bound_in + r
 
-    tp = jnp.pad(
-        tracked.astype(jnp.int16), ((pad, pad), (pad, pad)),
-        constant_values=0,
-    )
-    cells = _spread_cells(tp, block_w, block_h, pad)
+    # u8 end to end through the shift passes (half the traffic of i16);
+    # widening happens only at the final absolute difference
+    tp = jnp.pad(tracked, ((pad, pad), (pad, pad)), constant_values=0)
+    cells = _spread_cells(tp, block_w, block_h, pad)  # (mfh, ch, mfw, cw)
 
     mv_round = jnp.round(mv_field).astype(jnp.int32)
-    mvx = mv_round[..., 0]
-    mvy = mv_round[..., 1]
+    mvx = mv_round[..., 0][:, None, :, None]  # vs (mfh, y, mfw, x) layout
+    mvy = mv_round[..., 1][:, None, :, None]
 
     wh, ww = block_h + 2 * r, block_w + 2 * r
     shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
 
     # rows: select each block's vertical window position
-    win_rows = jnp.zeros((mfh, mfw, wh, cells.shape[-1]), jnp.int16)
+    win_rows = jnp.zeros((mfh, wh, mfw, cells.shape[-1]), jnp.uint8)
     for s in shifts:
-        sel = (mvy == s)[..., None, None]
         win_rows = jnp.where(
-            sel, cells[:, :, pad + s - r : pad + s - r + wh, :], win_rows
+            mvy == s,
+            cells[:, pad + s - r : pad + s - r + wh, :, :],
+            win_rows,
         )
     # cols: same horizontally
-    windows = jnp.zeros((mfh, mfw, wh, ww), jnp.int16)
+    windows = jnp.zeros((mfh, wh, mfw, ww), jnp.uint8)
     for s in shifts:
-        sel = (mvx == s)[..., None, None]
         windows = jnp.where(
-            sel, win_rows[:, :, :, pad + s - r : pad + s - r + ww], windows
+            mvx == s,
+            win_rows[:, :, :, pad + s - r : pad + s - r + ww],
+            windows,
         )
 
     # all (2r+1)^2 candidates are static slices of the selected windows
-    anchor_blocks = (
-        anchor.reshape(mfh, block_h, mfw, block_w)
-        .transpose(0, 2, 1, 3)
-        .astype(jnp.int16)
+    anchor_blocks = anchor.reshape(mfh, block_h, mfw, block_w).astype(
+        jnp.int16
     )
     mads = []
     for oy in range(2 * r + 1):
         for ox in range(2 * r + 1):
-            cand = windows[:, :, oy : oy + block_h, ox : ox + block_w]
+            cand = windows[:, oy : oy + block_h, :, ox : ox + block_w]
             sad = jnp.sum(
-                jnp.abs(cand - anchor_blocks).astype(jnp.int32), axis=(2, 3)
+                jnp.abs(cand.astype(jnp.int16) - anchor_blocks).astype(
+                    jnp.int32
+                ),
+                axis=(1, 3),
             )
             mads.append(sad.astype(jnp.float32) / jnp.float32(area))
     mads = jnp.stack(mads)
