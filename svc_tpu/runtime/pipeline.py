@@ -22,6 +22,41 @@ from typing import Any, Callable, Iterator, Optional
 _DONE = object()
 
 
+class CancelledError(RuntimeError):
+    """Raised inside a pipeline stage when its token is cancelled."""
+
+
+class CancelToken:
+    """Cooperative cancellation for pipeline stages.
+
+    The reference ships an interruptible-thread framework
+    (``InterruptFlag``/``IJThread``/``InterruptibleWait``,
+    libs/thread.hpp:30-152) that its apps never use; this is the live
+    equivalent: stages call ``check()`` at loop boundaries and any thread
+    may ``cancel()`` the pipeline (used for clean Ctrl-C / GUI-quit
+    teardown).
+    """
+
+    def __init__(self):
+        self._event = threading.Event()
+
+    def cancel(self) -> None:
+        self._event.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._event.is_set()
+
+    def check(self) -> None:
+        if self._event.is_set():
+            raise CancelledError("pipeline cancelled")
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Interruptible wait (the ``InterruptibleWait`` analog,
+        libs/thread.hpp:95-104)."""
+        return self._event.wait(timeout)
+
+
 class BoundedQueue:
     """Blocking bounded queue with producer-done signaling
     (the contract of ``CircularQueue`` libs/queue.hpp:23-72)."""
@@ -60,15 +95,23 @@ def pipeline_threads(
     producer: Callable[[BoundedQueue], None],
     consumer: Callable[[BoundedQueue], None],
     capacity: int,
+    cancel: Optional[CancelToken] = None,
 ) -> None:
     """Run ``producer`` in a daemon thread feeding ``consumer`` (current
     thread) through a bounded queue; joins the producer on exit (the
-    reference's ``ThreadGuard`` join-on-destruct, libs/thread.hpp:13-24)."""
+    reference's ``ThreadGuard`` join-on-destruct, libs/thread.hpp:13-24).
+
+    A ``CancelToken`` lets either side abort: the producer is expected to
+    call ``cancel.check()`` between pushes; the consumer's cancellation
+    propagates by signalling done and draining.
+    """
     q = BoundedQueue(capacity)
 
     def run_producer():
         try:
             producer(q)
+        except CancelledError:
+            pass
         finally:
             q.signal_producer_done()
 
@@ -76,5 +119,13 @@ def pipeline_threads(
     t.start()
     try:
         consumer(q)
+    except CancelledError:
+        pass
     finally:
+        if cancel is not None:
+            cancel.cancel()
+        # unblock and drain a producer stuck on a full queue so the join
+        # below can never deadlock (no-op on the normal path)
+        while q.pop() is not None:
+            pass
         t.join()
