@@ -54,24 +54,45 @@ def connected_components_batched(
     big = jnp.array(n, ldtype)  # sentinel for background / out of mask
     labels = jnp.where(masks, idx, big)
 
-    def _win_min(lab, window):
-        return jax.lax.reduce_window(
-            lab,
-            big,
-            jax.lax.min,
-            window_dimensions=window,
-            window_strides=(1, 1, 1),
-            padding="SAME",
+    # propagation runs on the flattened (B, n) layout: the grid's width is
+    # narrower than a vector register, so flat rows pack the lanes fully;
+    # grid neighbors become fixed lane offsets with row-boundary masks
+    labels = labels.reshape(b, n)
+    masks_flat = masks.reshape(b, n)
+    col = jnp.arange(n, dtype=jnp.int32) % w
+    not_left = (col != 0)[None, :]
+    not_right = (col != w - 1)[None, :]
+
+    if connectivity == 4:
+        shifts = ((w, None), (-w, None),
+                  (1, not_left), (-1, not_right))
+    else:
+        shifts = (
+            (w, None), (-w, None), (1, not_left), (-1, not_right),
+            (w + 1, not_left), (w - 1, not_right),
+            (-w + 1, not_left), (-w - 1, not_right),
         )
 
+    margin = w + 1  # covers the largest (diagonal) lane offset
+
     def neighbor_min(lab):
-        if connectivity == 4:
-            m = jnp.minimum(
-                _win_min(lab, (1, 3, 1)), _win_min(lab, (1, 1, 3))
+        padded = jnp.concatenate(
+            [
+                jnp.full((b, margin), big, ldtype),
+                lab,
+                jnp.full((b, margin), big, ldtype),
+            ],
+            axis=1,
+        )
+        m = lab
+        for off, ok in shifts:
+            sh = jax.lax.slice(
+                padded, (0, margin - off), (b, margin - off + n)
             )
-        else:
-            m = _win_min(lab, (1, 3, 3))
-        return jnp.where(masks, m, big)
+            if ok is not None:
+                sh = jnp.where(ok, sh, big)
+            m = jnp.minimum(m, sh)
+        return jnp.where(masks_flat, m, big)
 
     def body(state):
         lab, _ = state
@@ -80,19 +101,17 @@ def connected_components_batched(
         for _ in range(5):
             new = neighbor_min(new)
         # pointer jumping: follow the label chain one extra hop per sweep
-        flat = new.reshape(b, n)
         flat_ext = jnp.concatenate(
-            [flat, jnp.full((b, 1), big, ldtype)], axis=1
+            [new, jnp.full((b, 1), big, ldtype)], axis=1
         )
-        jumped = jnp.take_along_axis(
-            flat_ext, flat.astype(jnp.int32), axis=1
-        ).reshape(b, h, w)
-        new = jnp.where(masks, jnp.minimum(jumped, new), big)
+        jumped = jnp.take_along_axis(flat_ext, new.astype(jnp.int32), axis=1)
+        new = jnp.where(masks_flat, jnp.minimum(jumped, new), big)
         return new, jnp.any(new != lab)
 
     labels, _ = jax.lax.while_loop(
         lambda s: s[1], body, (labels, jnp.bool_(True))
     )
+    labels = labels.reshape(b, h, w)
 
     # canonicalize: components numbered in raster order of their root pixel
     is_root = masks & (labels == idx)

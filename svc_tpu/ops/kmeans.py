@@ -144,8 +144,17 @@ def _lloyd_attempt(
         centers = jnp.where(done, centers, new_centers)
         return (centers, new_done), None
 
-    (centers, _), _ = jax.lax.scan(
-        iteration, (centers, jnp.bool_(False)), None, length=max_iter
+    def loop_cond(state):
+        (_, done), it = state
+        return (~done) & (it < max_iter)
+
+    def loop_body(state):
+        carry, it = state
+        carry, _ = iteration(carry, None)
+        return carry, it + 1
+
+    (centers, _), _ = jax.lax.while_loop(
+        loop_cond, loop_body, ((centers, jnp.bool_(False)), jnp.int32(0))
     )
     labels, point_d2 = _assign(x, centers, mask)
     compactness = jnp.sum(point_d2)
