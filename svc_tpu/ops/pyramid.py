@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 _TAPS = (1, 4, 6, 4, 1)
@@ -39,6 +40,17 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     out_h, out_w = (h + 1) // 2, (w + 1) // 2
     if h % 2 or w % 2:
         return _pyr_down_general(img)
+
+    # fused Pallas kernel on accelerators for batched planes (bit-exact;
+    # gated off on CPU where the interpreter would be slower than XLA)
+    if img.ndim == 3 and jax.default_backend() != "cpu":
+        from svc_tpu.ops.pyramid_pallas import (
+            pallas_pyr_supported,
+            pyr_down_pallas,
+        )
+
+        if pallas_pyr_supported(h, w):
+            return pyr_down_pallas(img)
 
     def filt(x, axis_last: bool):
         # x padded by 2 (reflect-101) along the target axis, even length
