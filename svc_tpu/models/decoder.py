@@ -15,7 +15,6 @@ trajectory file; a GUI mode is available when OpenCV is importable).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Iterator, List, Optional, Tuple
 
 import jax

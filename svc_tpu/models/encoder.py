@@ -38,7 +38,6 @@ Parity decisions (SURVEY.md §2.1):
 
 from __future__ import annotations
 
-import functools
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -56,7 +55,6 @@ from svc_tpu.ops.motion import hbma
 from svc_tpu.ops.pad import pad_frame, padded_dims
 from svc_tpu.ops.pyramid import build_pyramid
 from svc_tpu.ops.ransac import estimate_global_motion_ransac, iter_count
-from svc_tpu.utils.mathx import pow2
 
 
 class Encoder:

@@ -29,7 +29,6 @@ cross-level carry) stay in ``ops.motion``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ int32 vertical sums (<= 65280) -> ``(v + 128) >> 8`` -> uint8, matching
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
