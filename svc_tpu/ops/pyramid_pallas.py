@@ -76,13 +76,19 @@ def _pyr_kernel(e_ref, eh_ref, o_ref, oh_ref, out_ref):
 
 
 def _row_tile(out_h: int, target: int = 136) -> int:
-    """Largest divisor of ``out_h`` that is a multiple of 4 and no larger
-    than ``target`` (the halo block offset must be 8-row aligned)."""
+    """Row-tile size: a multiple-of-8 divisor of ``out_h`` (output blocks
+    must be 8-row divisible), else the whole height as a single tile when
+    it is 4-aligned (the halo offset needs 8-row alignment = rt % 4 == 0)
+    and small enough for VMEM. Returns 0 if unsupported."""
     best = 0
-    for d in range(4, min(out_h, target) + 1, 4):
+    for d in range(8, min(out_h, target) + 1, 8):
         if out_h % d == 0:
             best = d
-    return best
+    if best:
+        return best
+    if out_h % 4 == 0 and out_h <= 544:
+        return out_h
+    return 0
 
 
 @jax.jit
