@@ -183,7 +183,7 @@ class Decoder:
             types, coeffs = bitstream.deserialize_frame_blocks(
                 payload, self.header
             )
-            gaze = next(gazes) if gazes is not None else None
+            gaze = next(gazes, None) if gazes is not None else None
             buf_c.append(coeffs)
             buf_t.append(types)
             buf_g.append(self.padded_gaze_rect(gaze))

@@ -544,6 +544,13 @@ def hbma(
         raise ValueError(
             "search range must be >= the top level reduction factor"
         )
+    if block_w % factor or block_h % factor:
+        # the reference truncates the per-level block dims (uint division,
+        # libs/motion.cpp:440-441) and then corrupts its MV field when the
+        # doubled dims no longer match — reject clearly instead
+        raise ValueError(
+            "block dims must be divisible by the top level reduction factor"
+        )
     top_range = search_range // factor
 
     mv, min_mad = ebma(

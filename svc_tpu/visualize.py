@@ -83,6 +83,37 @@ def upscale_mask(mask: np.ndarray, h: int, w: int) -> np.ndarray:
     return (u.astype(np.uint8) * 255)[..., None].repeat(3, -1)
 
 
+_VIEW_TITLES = (
+    "Base", "Motion Field (MF)", "Global Motion (GM)",
+    "Foreground (FG) Mask", "FG Mask After Morph", "FG Clusters",
+    "FG Regions",
+)
+
+
+def _draw_titles(views: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Outlined view titles like the reference's ``DrawViewTitle``
+    (libs/encoder.cpp:284-293, libs/draw.cpp:143-158); needs OpenCV for
+    text rasterization, silently skipped otherwise."""
+    try:
+        import cv2  # type: ignore
+    except ImportError:
+        return views
+    scale = max(min(w, h) / 640.0, 0.35)
+    origin_scale = 2 * scale
+    for idx, title in enumerate(_VIEW_TITLES):
+        oy, ox = divmod(idx, 3)
+        pos = (
+            ox * w + int(round(8 * origin_scale)),
+            oy * h + int(round(16 * origin_scale)),
+        )
+        for color, thick in (((0, 0, 0), 3), ((255, 255, 255), 1)):
+            cv2.putText(
+                views, title, pos, cv2.FONT_HERSHEY_COMPLEX, scale, color,
+                max(int(thick * scale), 1), cv2.LINE_AA,
+            )
+    return views
+
+
 def compose_views(frame_bgr, mv, gm, fg_raw, fg, labels, btypes) -> np.ndarray:
     """Build the 3x3 composite of the reference's seven views
     (libs/encoder.cpp:398-416)."""
@@ -105,7 +136,7 @@ def compose_views(frame_bgr, mv, gm, fg_raw, fg, labels, btypes) -> np.ndarray:
     views[h:2 * h, w:2 * w] = upscale_mask(fg, h, w)              # post-morph
     views[h:2 * h, 2 * w:] = tint_labels(frame_bgr, labels, 0)    # clusters
     views[2 * h:, 0:w] = tint_labels(frame_bgr, btypes.astype(np.int64), 1)
-    return views
+    return _draw_titles(views, h, w)
 
 
 class VisualizingEncoder:

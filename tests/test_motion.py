@@ -130,6 +130,24 @@ class TestHbma:
         with pytest.raises(ValueError):
             motion.hbma([t, t, t], [t, t, t], 2, 8, 8)
 
+    def test_block_divisibility_validation(self):
+        # block 10 with 3 levels: the reference would truncate the top-level
+        # block to 2 and corrupt its MV field; we reject
+        t = jnp.zeros((40, 40), jnp.uint8)
+        with pytest.raises(ValueError, match="divisible"):
+            motion.hbma([t, t, t], [t, t, t], 8, 10, 10)
+
+    def test_rectangular_blocks_match_spec(self):
+        tracked, anchor = _frame_pair(32, 48, 12, shift=(1, 2))
+        t_pyr = build_pyramid(jnp.asarray(tracked), 2)
+        a_pyr = build_pyramid(jnp.asarray(anchor), 2)
+        mv, mm = motion.hbma(t_pyr, a_pyr, 4, 16, 8)
+        t_np = [np.asarray(p) for p in t_pyr]
+        a_np = [np.asarray(p) for p in a_pyr]
+        mv_s, mm_s = hbma_spec(t_np, a_np, 4, 16, 8)
+        np.testing.assert_array_equal(np.asarray(mv), mv_s)
+        np.testing.assert_array_equal(np.asarray(mm), mm_s)
+
     def test_vmappable_over_frame_batch(self):
         tracked, anchor = _frame_pair(32, 32, 9)
         t = jnp.stack([jnp.asarray(tracked)] * 3)
