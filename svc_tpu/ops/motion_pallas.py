@@ -204,3 +204,168 @@ def pallas_supported(
     """Shape gate for the kernel: modest unroll, lane-friendly strips."""
     side = 2 * search_range + 1
     return side * side <= 81 and mfw * (block_w + 2 * search_range) >= 128
+
+
+# ---------------------------------------------------------------------------
+# Static-only refine kernel (compiles on this toolchain)
+# ---------------------------------------------------------------------------
+#
+# The kernel above needs dynamic addressing, which this environment's
+# Mosaic compiler rejects. This variant expresses the same per-block
+# motion compensation with ONLY static operations: the per-block MV becomes
+# dense masked selects over statically shifted full-width slices
+# (output-indexed, so overlapping source reads need no disjoint "cells").
+# Column compensation runs first — anchor and output columns then map 1:1,
+# so the row masks index correctly by anchor column.
+
+
+def _make_refine_kernel(r: int, shifts, bh: int, n_views: int):
+    side = 2 * r + 1
+
+    def kernel(mvy_ref, mvx_ref, *rest):
+        # rest: n_views tracked row-block views, anchor, colind, out
+        views = rest[:n_views]
+        anchor_ref, colind_ref, out_ref = rest[n_views:]
+        w = anchor_ref.shape[2]
+        pad = (views[0].shape[2] - w) // 2
+
+        # int16 throughout: this toolchain's Mosaic crashes on uint8 selects
+        strip = jnp.concatenate(
+            [v[0] for v in views], axis=0
+        ).astype(jnp.int16)  # (3bh, Wp)
+        mvx = mvx_ref[0, 0]  # (1, W) int32
+        mvy = mvy_ref[0, 0]
+
+        # columns first: C_ox[y, x] = strip[y, pad + x + mx(block(x)) + ox]
+        cols = []
+        for ox in range(-r, r + 1):
+            acc = jnp.zeros((strip.shape[0], w), jnp.int16)
+            for s in shifts:
+                acc = jnp.where(
+                    mvx == s, strip[:, pad + s + ox : pad + s + ox + w], acc
+                )
+            cols.append(acc)
+
+        anchor = anchor_ref[0].astype(jnp.int16)  # (bh, W)
+        colind = colind_ref[...]
+        for oy in range(-r, r + 1):
+            for ox in range(-r, r + 1):
+                c = cols[ox + r]
+                cand = jnp.zeros((bh, w), jnp.int16)
+                for s in shifts:
+                    cand = jnp.where(
+                        mvy == s, c[bh + s + oy : bh + s + oy + bh, :], cand
+                    )
+                diff = jnp.abs(cand - anchor).astype(jnp.float32)
+                colsum = jnp.sum(diff, axis=0, keepdims=True)  # (1, W)
+                sad = jnp.dot(
+                    colsum, colind, preferred_element_type=jnp.float32
+                )  # (1, mfw)
+                k = (oy + r) * side + (ox + r)
+                out_ref[0, 0, k : k + 1, :] = sad
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_range", "block_w", "block_h", "mv_bound"),
+)
+def refine_sads_static(
+    tracked: jnp.ndarray,
+    anchor: jnp.ndarray,
+    mv_round: jnp.ndarray,
+    search_range: int,
+    block_w: int,
+    block_h: int,
+    mv_bound: int,
+) -> jnp.ndarray:
+    """Candidate SADs via the static-only kernel.
+
+    Same contract as ``candidate_sads`` (invalid-window entries are garbage
+    and must be masked by the caller), restricted to
+    ``mv_bound + search_range <= block_h`` so three ``block_h``-row views
+    cover every window, and to even MVs (hierarchical refinement inputs are
+    always doubled integer fields).
+    """
+    t, h, w = tracked.shape
+    r = search_range
+    bw, bh = block_w, block_h
+    mfh, mfw = h // bh, w // bw
+    side = 2 * r + 1
+    pad = mv_bound + r
+    assert pad <= bh
+
+    # pad rows by exactly one block (>= pad) so row views stay block-aligned;
+    # pad cols by `pad`
+    hp = h + 2 * bh
+    tracked_pad = jnp.pad(
+        tracked, ((0, 0), (bh, bh), (pad, pad)), constant_values=0
+    )
+
+    # per-pixel-column MV masks, indexed by anchor column
+    mvx_px = jnp.repeat(mv_round[..., 0], bw, axis=2).astype(jnp.int32)
+    mvy_px = jnp.repeat(mv_round[..., 1], bw, axis=2).astype(jnp.int32)
+    mvx_px = mvx_px.reshape(t, mfh, 1, w)
+    mvy_px = mvy_px.reshape(t, mfh, 1, w)
+
+    rows = np.zeros((w, mfw), np.float32)
+    rows[np.arange(w), np.arange(w) // bw] = 1.0
+    colind = jnp.asarray(rows)
+
+    shifts = tuple(range(-mv_bound, mv_bound + 1, 2)) or (0,)
+    kernel = _make_refine_kernel(r, shifts, bh, 3)
+
+    view_spec = lambda k: pl.BlockSpec(  # noqa: E731
+        (1, bh, w + 2 * pad),
+        lambda ti, i, k=k: (ti, i + k, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mv_spec = pl.BlockSpec(
+        (1, 1, 1, w), lambda ti, i: (ti, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(t, mfh),
+        in_specs=[
+            mv_spec,
+            mv_spec,
+            view_spec(0),
+            view_spec(1),
+            view_spec(2),
+            pl.BlockSpec(
+                (1, bh, w), lambda ti, i: (ti, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (w, mfw), lambda ti, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, side * side, mfw),
+            lambda ti, i: (ti, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (t, mfh, side * side, mfw), jnp.float32
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(mvy_px, mvx_px, tracked_pad, tracked_pad, tracked_pad, anchor, colind)
+    return jnp.moveaxis(out, 1, 2)  # (t, ncand, mfh, mfw)
+
+
+def static_refine_supported(
+    r: int, block_w: int, block_h: int, mv_bound: int, w: int
+) -> bool:
+    """Gate for ``refine_sads_static``.
+
+    Currently always False on hardware: although the kernel is fully
+    static and exact (interpret-mode tested), this environment's remote
+    Mosaic compiler also crashes on chained masked-select slices (probed:
+    a single select chain over a loaded ref compiles; selecting from a
+    previously selected value does not). Enable once the toolchain can
+    compile it; the shape conditions below are the real requirements.
+    """
+    del r, block_w, block_h, mv_bound, w
+    return False

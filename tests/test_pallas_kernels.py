@@ -32,6 +32,45 @@ class TestPyrDownPallas:
         assert not pallas_pyr_supported(33, 64)  # odd height
 
 
+class TestStaticRefinePallas:
+    def test_bit_exact_vs_reference_computation(self):
+        from svc_tpu.ops.motion_pallas import refine_sads_static
+
+        rng = np.random.default_rng(3)
+        t, h, w, bw, bh, r, bound = 2, 64, 512, 16, 16, 1, 14
+        tracked = rng.integers(0, 256, (t, h, w)).astype(np.uint8)
+        anchor = rng.integers(0, 256, (t, h, w)).astype(np.uint8)
+        mfh, mfw = h // bh, w // bw
+        mv = (rng.integers(-7, 8, (t, mfh, mfw, 2)) * 2).astype(np.int32)
+
+        out = np.asarray(
+            refine_sads_static(
+                jnp.asarray(tracked), jnp.asarray(anchor), jnp.asarray(mv),
+                r, bw, bh, bound,
+            )
+        )
+        pad = bound + r
+        side = 2 * r + 1
+        tp = np.pad(tracked, ((0, 0), (pad, pad), (pad, pad)))
+        for t_ in range(t):
+            for i in range(0, mfh, 3):
+                for j in range(0, mfw, 7):
+                    my, mx = mv[t_, i, j, 1], mv[t_, i, j, 0]
+                    a = anchor[
+                        t_, i * bh : (i + 1) * bh, j * bw : (j + 1) * bw
+                    ].astype(np.int64)
+                    for oy in range(-r, r + 1):
+                        for ox in range(-r, r + 1):
+                            ty = i * bh + my + oy + pad
+                            tx = j * bw + mx + ox + pad
+                            cand = tp[
+                                t_, ty : ty + bh, tx : tx + bw
+                            ].astype(np.int64)
+                            ref = np.abs(cand - a).sum()
+                            got = out[t_, (oy + r) * side + (ox + r), i, j]
+                            assert got == ref
+
+
 class TestCandidateSadsPallas:
     def test_bit_exact_vs_reference_computation(self):
         rng = np.random.default_rng(0)
