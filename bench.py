@@ -49,6 +49,10 @@ def make_frames(t, h, w, seed=0):
 def main():
     import jax
 
+    from svc_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from svc_tpu.config import EncoderConfig, VideoProperties
     from svc_tpu.models.encoder import Encoder
 

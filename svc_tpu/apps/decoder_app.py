@@ -118,6 +118,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(str(e), file=sys.stderr)
         return 1
 
+    from svc_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     decoder = Decoder(cfg.decoder, header, batch_size=cfg.batch_size)
 
     if cfg.show:

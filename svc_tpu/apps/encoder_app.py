@@ -138,6 +138,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"  Height: {props.frame_h}", file=sys.stderr)
         print(f"  Frame count: {props.frame_count}", file=sys.stderr)
 
+    from svc_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     encoder = Encoder(cfg.encoder, props, batch_size=cfg.batch_size)
 
     if cfg.visualize:
