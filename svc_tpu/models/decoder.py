@@ -11,6 +11,15 @@ reads the gaze position from the mouse (libs/decoder.cpp:53-63). This
 decoder is headless-first: it returns frames, and gaze comes from an
 explicit per-frame position (the apps accept a static position or a
 trajectory file; a GUI mode is available when OpenCV is importable).
+
+Replicated reference quirk: the final resize maps the whole PADDED
+reconstruction — including the zero padding bands — onto the original
+frame size (libs/decoder.cpp:157-210), so streams with nonzero
+``frame_excess`` come out slightly squeezed, exactly like the reference
+displays them. (The reference's serializer bug Q4 meant it only ever
+produced valid streams with zero excess anyway; this framework encodes
+padded streams correctly, and faithfully reproduces the display-path
+squeeze.)
 """
 
 from __future__ import annotations
