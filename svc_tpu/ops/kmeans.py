@@ -4,7 +4,8 @@ Replaces the encoder's ``cv::kmeans(features, k, ..., attempts,
 KMEANS_PP_CENTERS)`` call (reference: libs/encoder.cpp:557-578) with a
 jitted, static-shape implementation:
 
-* k-means++ (D^2-weighted) seeding via ``jax.random`` categorical sampling,
+* k-means++ (D^2-weighted) seeding via inverse-CDF sampling under an
+  explicit PRNG key,
 * Lloyd iterations as one-hot matmuls (MXU-shaped assignment + update),
 * OpenCV's termination rule — stop when the squared center shift drops to
   ``epsilon**2`` or ``max_iter`` is reached (TermCriteria COUNT|EPS,
