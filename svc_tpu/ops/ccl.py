@@ -94,13 +94,33 @@ def connected_components_batched(
             m = jnp.minimum(m, sh)
         return jnp.where(masks_flat, m, big)
 
-    def body(state):
-        lab, _ = state
-        # several cheap dense sweeps per (gather-bound) pointer jump
+    def sweep_block(lab):
         new = lab
-        for _ in range(5):
+        for _ in range(12):
             new = neighbor_min(new)
-        # pointer jumping: follow the label chain one extra hop per sweep
+        return new
+
+    # phase 1: pure dense sweeps — gather-free, and enough for any mask
+    # whose components' path lengths fit the iteration budget (the sweep
+    # budget comfortably covers the grid diameter)
+    sweep_limit = max(2, (h + w) // 10)
+
+    def body1(state):
+        lab, _, it = state
+        new = sweep_block(lab)
+        return new, jnp.any(new != lab), it + 1
+
+    labels, changed, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < sweep_limit),
+        body1,
+        (labels, jnp.bool_(True), jnp.int32(0)),
+    )
+
+    # phase 2: pointer jumping for adversarial stragglers (long snaking
+    # components) — zero iterations when phase 1 already converged
+    def body2(state):
+        lab, _ = state
+        new = sweep_block(lab)
         flat_ext = jnp.concatenate(
             [new, jnp.full((b, 1), big, ldtype)], axis=1
         )
@@ -108,9 +128,7 @@ def connected_components_batched(
         new = jnp.where(masks_flat, jnp.minimum(jumped, new), big)
         return new, jnp.any(new != lab)
 
-    labels, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (labels, jnp.bool_(True))
-    )
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body2, (labels, changed))
     labels = labels.reshape(b, h, w)
 
     # canonicalize: components numbered in raster order of their root pixel

@@ -98,6 +98,21 @@ class TestConnectedComponents:
         with pytest.raises(ValueError):
             connected_components(jnp.zeros((2, 2), bool), 6)
 
+    def test_adversarial_spiral(self):
+        # a single snaking component whose path length far exceeds the
+        # sweep budget — exercises the pointer-jumping straggler phase
+        h, w = 24, 40
+        mask = np.zeros((h, w), bool)
+        for row in range(0, h, 2):
+            mask[row, :] = True
+            if row + 1 < h:
+                mask[row + 1, w - 1 if (row // 2) % 2 == 0 else 0] = True
+        labels, count = connected_components(jnp.asarray(mask), 4)
+        assert int(count) == 2  # one long snake + background
+        labs = np.asarray(labels)
+        assert set(np.unique(labs[mask])) == {1}
+        assert (labs[~mask] == 0).all()
+
 
 class TestKMeans:
     def test_recovers_separated_clusters(self):
