@@ -42,10 +42,10 @@ def _weighted_pick(weights: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     (Gumbel) sampling, which generates random bits for every point."""
     cdf = jnp.cumsum(weights)
     total = cdf[-1]
-    return jnp.minimum(
-        jnp.searchsorted(cdf, u * total, side="right"),
-        weights.shape[0] - 1,
-    )
+    # dense comparison beats searchsorted's sequential binary-scan lowering
+    # on TPU (N compares are one VPU pass)
+    idx = jnp.sum((cdf <= u * total).astype(jnp.int32))
+    return jnp.minimum(idx, weights.shape[0] - 1)
 
 
 def _plus_plus_init(
