@@ -15,12 +15,14 @@ copy with compute). Tunnel-inclusive numbers are printed to stderr for
 reference. DCT coefficients stay on device, mirroring a production pipeline
 that overlaps bitstream readback with the next batch's compute.
 
-The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
-measured against the BASELINE.json north-star target of 500 fps/chip.
+The reference publishes no numbers; ``vs_baseline`` is measured against the
+BASELINE.json north-star target of 500 fps/chip, and ``vs_reference``
+against the C++ reference binary measured on this host (6.46 fps 1080p on
+one SSE2 core — BASELINE.md, benchmarks/bench_reference.py).
 
 Prints exactly one JSON line:
   {"metric": "1080p_encode_fps", "value": N, "unit": "frames/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "vs_reference": N}
 """
 
 import json
@@ -30,6 +32,7 @@ import time
 import numpy as np
 
 TARGET_FPS = 500.0  # BASELINE.json north-star: >500 fps 1080p per chip
+REFERENCE_FPS = 6.46  # measured C++ reference, 1080p, this host (BASELINE.md)
 
 
 def make_frames(t, h, w, seed=0):
@@ -143,6 +146,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
+                "vs_reference": round(fps / REFERENCE_FPS, 2),
             }
         )
     )
