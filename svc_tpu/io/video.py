@@ -7,7 +7,13 @@ output path) with dependency-gated readers/writers:
 * any container/codec via OpenCV's ``VideoCapture`` when ``cv2`` is
   importable (optional — the framework never uses OpenCV for compute),
 * ``.npy`` — a ``(frames, height, width, 3)`` uint8 BGR array,
-* ``.y4m`` — YUV4MPEG2 with C444 or Cmono colorspace (pure-Python parser).
+* ``.y4m`` — YUV4MPEG2 with C444 or Cmono colorspace (pure-Python parser),
+* ``.avi`` — uncompressed BI_RGB (rawvideo BGR24) AVI, read and written
+  natively. This is the **lossless interchange format** with the reference
+  binary: FFmpeg/OpenCV decode BI_RGB without any colorspace conversion, so
+  the reference's ``cv::VideoCapture`` (apps/encoder.cpp:192) sees
+  bit-identical BGR pixels to our reader — unlike y4m, whose YUV round trip
+  is range/matrix dependent. Golden end-to-end parity tests rely on this.
 
 All readers yield uint8 BGR ``(H, W, 3)`` frames, the same pixel layout the
 reference consumes from OpenCV.
@@ -66,6 +72,9 @@ class VideoReader:
             self.props = VideoProperties(frame_w=w, frame_h=h, frame_count=t)
         elif path.endswith(".y4m"):
             self._y4m = _Y4MReader(path)
+            self.props = self._y4m.props
+        elif path.endswith(".avi") and _is_raw_avi(path):
+            self._y4m = _RawAviReader(path)  # same iterator contract
             self.props = self._y4m.props
         else:
             if not _HAS_CV2:
@@ -162,6 +171,162 @@ class _Y4MReader:
 
     def close(self) -> None:
         self._f.close()
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+
+def _is_raw_avi(path: str) -> bool:
+    """True when the .avi is an uncompressed BI_RGB file we parse natively."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if head[:4] != b"RIFF" or head[8:12] != b"AVI ":
+                return False
+            data = f.read(4096)
+        i = data.find(b"strf")
+        if i < 0 or i + 8 + 40 > len(data):
+            return False
+        bih = data[i + 8 : i + 8 + 40]
+        compression = int.from_bytes(bih[16:20], "little")
+        bit_count = int.from_bytes(bih[14:16], "little")
+        return compression == 0 and bit_count == 24
+    except OSError:
+        return False
+
+
+class _RawAviReader:
+    """Minimal reader for BI_RGB AVIs (both row orders, padded-stride rows).
+
+    Handles ``write_raw_avi``'s top-down files and standard bottom-up ones;
+    the same files decode bit-identically through ``cv::VideoCapture``.
+    """
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        data = self._f.read()
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise ValueError(f"not an AVI file: {path}")
+        i = data.find(b"strf")
+        bih = data[i + 8 : i + 8 + 40]
+        w = int.from_bytes(bih[4:8], "little", signed=True)
+        h = int.from_bytes(bih[8:12], "little", signed=True)
+        self._top_down = h < 0
+        h = abs(h)
+        self._w, self._h = w, h
+        self._stride = (w * 3 + 3) & ~3
+        # collect '00db'/'00dc' chunk offsets inside the movi list
+        self._offsets = []
+        j = data.find(b"LIST", i)
+        while j >= 0:
+            if data[j + 8 : j + 12] == b"movi":
+                end = j + 8 + int.from_bytes(data[j + 4 : j + 8], "little")
+                k = j + 12
+                while k + 8 <= min(end, len(data)):
+                    cc = data[k : k + 4]
+                    sz = int.from_bytes(data[k + 4 : k + 8], "little")
+                    if cc in (b"00db", b"00dc"):
+                        self._offsets.append((k + 8, sz))
+                    k += 8 + sz + (sz & 1)
+                break
+            j = data.find(b"LIST", j + 4)
+        self._data = data
+        self.props = VideoProperties(
+            frame_w=w, frame_h=h, frame_count=len(self._offsets)
+        )
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for off, sz in self._offsets:
+            rows = np.frombuffer(
+                self._data[off : off + sz], np.uint8
+            ).reshape(self._h, self._stride)[:, : self._w * 3]
+            frame = rows.reshape(self._h, self._w, 3)
+            yield frame if self._top_down else frame[::-1].copy()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def write_raw_avi(path: str, frames_bgr: np.ndarray, fps: int = 30) -> None:
+    """Write uint8 BGR frames as an uncompressed BI_RGB AVI (lossless).
+
+    Rows are stored top-down (negative biHeight): some FFmpeg builds
+    (e.g. the one bundled with OpenCV 5 Python wheels) crash on bottom-up
+    BI_RGB AVIs, while top-down decodes bit-exactly everywhere tested.
+    """
+    frames_bgr = np.asarray(frames_bgr, dtype=np.uint8)
+    t, h, w, _ = frames_bgr.shape
+    stride = (w * 3 + 3) & ~3
+    frame_sz = stride * h
+
+    bih = b"".join(
+        [
+            (40).to_bytes(4, "little"),
+            w.to_bytes(4, "little"),
+            (-h).to_bytes(4, "little", signed=True),  # negative: top-down
+            (1).to_bytes(2, "little"),
+            (24).to_bytes(2, "little"),
+            (0).to_bytes(4, "little"),  # BI_RGB
+            frame_sz.to_bytes(4, "little"),
+            bytes(16),
+        ]
+    )
+    strh = b"".join(
+        [
+            b"vids",
+            b"DIB ",
+            bytes(12),  # flags, priority/language, initial frames
+            (1).to_bytes(4, "little"),  # scale
+            int(fps).to_bytes(4, "little"),  # rate
+            (0).to_bytes(4, "little"),  # start
+            t.to_bytes(4, "little"),  # length
+            frame_sz.to_bytes(4, "little"),
+            (0xFFFFFFFF).to_bytes(4, "little"),  # quality
+            (0).to_bytes(4, "little"),  # sample size
+            (0).to_bytes(2, "little"),
+            (0).to_bytes(2, "little"),
+            w.to_bytes(2, "little"),
+            h.to_bytes(2, "little"),
+        ]
+    )
+    avih = b"".join(
+        [
+            int(1e6 // fps).to_bytes(4, "little"),
+            (frame_sz * fps).to_bytes(4, "little"),
+            (0).to_bytes(4, "little"),
+            (0x10).to_bytes(4, "little"),  # AVIF_HASINDEX
+            t.to_bytes(4, "little"),
+            (0).to_bytes(4, "little"),
+            (1).to_bytes(4, "little"),  # one stream
+            frame_sz.to_bytes(4, "little"),
+            w.to_bytes(4, "little"),
+            h.to_bytes(4, "little"),
+            bytes(16),
+        ]
+    )
+    strl = _chunk(b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", bih))
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih) + strl)
+
+    movi_payload = bytearray(b"movi")
+    index = bytearray()
+    for frame in frames_bgr:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = frame.reshape(h, w * 3)
+        index += (
+            b"00db"
+            + (0x10).to_bytes(4, "little")  # AVIIF_KEYFRAME
+            + len(movi_payload).to_bytes(4, "little")
+            + frame_sz.to_bytes(4, "little")
+        )
+        movi_payload += _chunk(b"00db", rows.tobytes())
+    movi = _chunk(b"LIST", bytes(movi_payload))
+    idx1 = _chunk(b"idx1", bytes(index))
+
+    body = b"AVI " + hdrl + movi + idx1
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + len(body).to_bytes(4, "little") + body)
 
 
 def write_npy_video(path: str, frames: np.ndarray) -> None:

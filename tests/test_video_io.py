@@ -1,0 +1,77 @@
+"""Video container IO (svc_tpu/io/video.py).
+
+The raw BI_RGB AVI path is the lossless interchange format with the
+reference binary (its cv::VideoCapture, apps/encoder.cpp:192, decodes
+BI_RGB without colorspace conversion), so its round trip must be bit-exact
+both through our own reader and through OpenCV/FFmpeg.
+"""
+
+import numpy as np
+import pytest
+
+from svc_tpu.io.video import (
+    VideoReader,
+    write_npy_video,
+    write_raw_avi,
+    write_y4m_video,
+)
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+@pytest.fixture
+def frames():
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, (5, 48, 64, 3), dtype=np.uint8)
+
+
+class TestRawAvi:
+    def test_roundtrip_bit_exact(self, frames, tmp_path):
+        path = str(tmp_path / "clip.avi")
+        write_raw_avi(path, frames)
+        rd = VideoReader(path)
+        assert rd.props.frame_w == 64
+        assert rd.props.frame_h == 48
+        assert rd.props.frame_count == 5
+        assert np.array_equal(np.stack(list(rd)), frames)
+
+    def test_odd_width_row_padding(self, tmp_path):
+        rng = np.random.default_rng(3)
+        fr = rng.integers(0, 256, (2, 7, 10, 3), dtype=np.uint8)
+        path = str(tmp_path / "odd.avi")
+        write_raw_avi(path, fr)  # stride 30 -> padded to 32
+        assert np.array_equal(np.stack(list(VideoReader(path))), fr)
+
+    @pytest.mark.skipif(not _HAS_CV2, reason="cv2 unavailable")
+    def test_opencv_decodes_bit_exact(self, frames, tmp_path):
+        path = str(tmp_path / "clip.avi")
+        write_raw_avi(path, frames)
+        vc = cv2.VideoCapture(path)
+        got = []
+        while True:
+            ok, f = vc.read()
+            if not ok:
+                break
+            got.append(f)
+        vc.release()
+        assert np.array_equal(np.stack(got), frames)
+
+
+class TestOtherContainers:
+    def test_npy_roundtrip(self, frames, tmp_path):
+        path = str(tmp_path / "clip.npy")
+        write_npy_video(path, frames)
+        assert np.array_equal(np.stack(list(VideoReader(path))), frames)
+
+    def test_y4m_roundtrip_approximate(self, frames, tmp_path):
+        path = str(tmp_path / "clip.y4m")
+        write_y4m_video(path, frames)
+        got = np.stack(list(VideoReader(path)))
+        # YUV444 round trip is lossy (range clipping on saturated colors)
+        assert got.shape == frames.shape
+        assert np.abs(got.astype(int) - frames.astype(int)).mean() < 16
