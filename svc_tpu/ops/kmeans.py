@@ -22,6 +22,16 @@ size and a boolean mask marks real points. Invalid points get label -1.
 
 Determinism: the reference inherits OpenCV's RNG (quirk Q7); here seeding
 takes an explicit PRNG key.
+
+TPU layout note: every per-point tensor keeps the POINT axis on the lane
+dimension — features live as ``(D, N)``, labels/distances as ``(N,)``, the
+assignment one-hot as ``(k, N)`` — because a ``(N, k)`` or ``(N, D)``
+tensor pads its trailing axis to 128 lanes (13-32x memory blowup for
+k=10/D=4), and Lloyd re-materializes those tensors every iteration. The
+lane-major formulation cut the measured 1080p k-means stage from ~50 ms to
+a few ms per 16-frame batch. The centers update is one
+``(D,N)x(k,N) -> (D,k)`` dot_general over the N lanes (HIGHEST precision:
+exact for the integer-valued motion features).
 """
 
 from __future__ import annotations
@@ -49,27 +59,36 @@ def _weighted_pick(weights: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
 
 
 def _plus_plus_init(
-    key: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray, k: int
+    key: jnp.ndarray, xt: jnp.ndarray, mask: jnp.ndarray, k: int
 ) -> jnp.ndarray:
-    """k-means++ seeding: D^2-weighted sampling over valid points."""
-    n = x.shape[0]
+    """k-means++ seeding: D^2-weighted sampling over valid points.
+
+    ``xt`` is ``(D, N)`` (points on lanes); returns centers ``(k, D)``.
+    """
+    n = xt.shape[1]
     uniforms = jax.random.uniform(key, (k,))
-    maskf = mask.astype(x.dtype)
+    maskf = mask.astype(xt.dtype)
 
     first = _weighted_pick(maskf, uniforms[0])
-    centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+    centers0 = (
+        jnp.zeros((k, xt.shape[0]), xt.dtype)
+        .at[0]
+        .set(jax.lax.dynamic_slice_in_dim(xt, first, 1, axis=1)[:, 0])
+    )
 
     def body(i, carry):
         centers, d2 = carry
         d2 = jnp.minimum(
-            d2, jnp.sum((x - centers[i - 1]) ** 2, axis=-1)
+            d2, jnp.sum((xt - centers[i - 1][:, None]) ** 2, axis=0)
         )
         w = jnp.where(mask, d2, 0.0)
         # if all residual weights vanish (fewer distinct points than k),
         # fall back to uniform over valid points
         w = jnp.where(jnp.sum(w) > 0, w, maskf)
         idx = _weighted_pick(w, uniforms[i])
-        centers = centers.at[i].set(x[idx])
+        centers = centers.at[i].set(
+            jax.lax.dynamic_slice_in_dim(xt, idx, 1, axis=1)[:, 0]
+        )
         return centers, d2
 
     centers, _ = jax.lax.fori_loop(
@@ -78,37 +97,53 @@ def _plus_plus_init(
     return centers
 
 
-def _assign(x: jnp.ndarray, centers: jnp.ndarray, mask: jnp.ndarray):
-    d2 = (
-        jnp.sum(x**2, axis=-1, keepdims=True)
-        - 2.0 * x @ centers.T
-        + jnp.sum(centers**2, axis=-1)[None, :]
-    )
-    labels = jnp.argmin(d2, axis=-1)
-    point_d2 = jnp.take_along_axis(d2, labels[:, None], axis=-1)[:, 0]
-    point_d2 = jnp.where(mask, jnp.maximum(point_d2, 0.0), 0.0)
+def _assign(xt: jnp.ndarray, centers: jnp.ndarray, mask: jnp.ndarray):
+    """First-wins argmin assignment, unrolled over the k centers.
+
+    All per-point tensors are ``(N,)`` (lane-resident); the k axis is a
+    static Python loop so no ``(N, k)`` tensor is ever materialized.
+    """
+    k = centers.shape[0]
+    best_d2 = jnp.sum((xt - centers[0][:, None]) ** 2, axis=0)
+    labels = jnp.zeros(xt.shape[1], jnp.int32)
+    for j in range(1, k):
+        d2 = jnp.sum((xt - centers[j][:, None]) ** 2, axis=0)
+        closer = d2 < best_d2
+        best_d2 = jnp.where(closer, d2, best_d2)
+        labels = jnp.where(closer, j, labels)
+    point_d2 = jnp.where(mask, jnp.maximum(best_d2, 0.0), 0.0)
     return labels, point_d2
 
 
 def _lloyd_attempt(
     key: jnp.ndarray,
-    x: jnp.ndarray,
+    xt: jnp.ndarray,
     mask: jnp.ndarray,
     k: int,
     max_iter: int,
     epsilon: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    centers = _plus_plus_init(key, x, mask, k)
-    maskf = mask.astype(x.dtype)
+    centers = _plus_plus_init(key, xt, mask, k)
+    maskf = mask.astype(xt.dtype)
 
     def iteration(carry, _):
         centers, done = carry
-        labels, point_d2 = _assign(x, centers, mask)
-        onehot = (
-            jax.nn.one_hot(labels, k, dtype=x.dtype) * maskf[:, None]
-        )
-        counts = jnp.sum(onehot, axis=0)
-        sums = onehot.T @ x
+        labels, point_d2 = _assign(xt, centers, mask)
+        # (k, N) one-hot: k rides sublanes (padded 10->16, not 10->128)
+        onehot_t = (
+            labels[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]
+        ).astype(xt.dtype) * maskf[None, :]
+        counts = jnp.sum(onehot_t, axis=1)
+        # centers update: one (D,N)x(k,N) -> (D,k) contraction over lanes;
+        # HIGHEST keeps f32 operands un-truncated (the default would cast
+        # to bf16 — still exact for integer-valued motion features, but the
+        # op is tiny so pay for generality)
+        sums = jax.lax.dot_general(
+            xt,
+            onehot_t,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).T
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
 
         # empty-cluster repair: the j-th empty cluster (by index) moves onto
@@ -137,7 +172,9 @@ def _lloyd_attempt(
             (jnp.zeros((k,), jnp.int32), jnp.where(mask, point_d2, -1.0)),
         )
         empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        repair = x[far_idx[jnp.clip(empty_rank, 0, k - 1)]]
+        repair = jnp.take(
+            xt, far_idx[jnp.clip(empty_rank, 0, k - 1)], axis=1
+        ).T
         new_centers = jnp.where(empty[:, None], repair, new_centers)
 
         shift2 = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=-1))
@@ -157,7 +194,7 @@ def _lloyd_attempt(
     (centers, _), _ = jax.lax.while_loop(
         loop_cond, loop_body, ((centers, jnp.bool_(False)), jnp.int32(0))
     )
-    labels, point_d2 = _assign(x, centers, mask)
+    labels, point_d2 = _assign(xt, centers, mask)
     compactness = jnp.sum(point_d2)
     return labels, centers, compactness
 
@@ -187,9 +224,10 @@ def kmeans(
       ``[0, k)`` for valid rows and -1 elsewhere.
     """
     keys = jax.random.split(key, attempts)
+    xt = features.T  # (D, N): points on lanes, one transpose per call
     labels_a, centers_a, compact_a = jax.vmap(
         lambda kk: _lloyd_attempt(
-            kk, features, mask, k, max_iter, float(epsilon)
+            kk, xt, mask, k, max_iter, float(epsilon)
         )
     )(keys)
     best = jnp.argmin(compact_a)
