@@ -77,7 +77,8 @@ def main():
         np.asarray(jax.device_get(leaf.ravel()[0:1]))
         return out
 
-    frames_dev = jax.device_put(frames, dev)
+    # packed (N, H, W*3) form: dense device tiling (Encoder.preprocess)
+    frames_dev = jax.device_put(frames.reshape(t + 1, h, w * 3), dev)
 
     def step():
         return sync(enc._encode_batch(frames_dev, keys))
@@ -104,7 +105,11 @@ def main():
 
     # tunnel-inclusive number for visibility (dev-env artifact: ~0.2 GB/s)
     t0 = time.perf_counter()
-    sync(enc._encode_batch(jax.device_put(frames, dev), keys))
+    sync(
+        enc._encode_batch(
+            jax.device_put(frames.reshape(t + 1, h, w * 3), dev), keys
+        )
+    )
     fps_h2d = t / (time.perf_counter() - t0)
     print(
         f"steady-state: {fps:.1f} fps (on-chip) / {fps_h2d:.1f} fps "

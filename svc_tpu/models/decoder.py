@@ -91,8 +91,10 @@ class Decoder:
         pw, ph = h.padded_frame_w, h.padded_frame_h
         tbw, tbh = h.transform_block_w, h.transform_block_h
 
+        channels = h.channel_count
+
         def decode_batch(
-            coeffs: jnp.ndarray,  # (T, nby, nbx, C, bh, bw) float32
+            coeffs: jnp.ndarray,  # (T, nby, nbx, C*bh*bw) float32 (wire)
             block_types: jnp.ndarray,  # (T, nby, nbx) uint32
             gaze_rects: jnp.ndarray,  # (T, 4) int32 — padded space (x,y,w,h)
         ) -> jnp.ndarray:
@@ -117,8 +119,10 @@ class Decoder:
                     cfg.background_quant_step,
                 )
                 # per-block steps broadcast directly in block layout
-                deq = quantize(c, steps[:, :, None, None, None])
-                frame = idct2_from_wire_blocks(deq)  # (PH, PW, C), BGR
+                deq = quantize(c, steps[:, :, None])
+                frame = idct2_from_wire_blocks(
+                    deq, channels, tbh, tbw
+                )  # (PH, PW, C), BGR
                 # display path: /255, bilinear resize to original size,
                 # imshow (libs/decoder.cpp:208-211); the /255 and the
                 # implicit *255 of display cancel — resize in 0..255 space
@@ -193,7 +197,8 @@ class Decoder:
                 payload, self.header
             )
             gaze = next(gazes, None) if gazes is not None else None
-            buf_c.append(coeffs)
+            # merged trailing axis: free host view, dense device tiling
+            buf_c.append(coeffs.reshape(coeffs.shape[0], coeffs.shape[1], -1))
             buf_t.append(types)
             buf_g.append(self.padded_gaze_rect(gaze))
             if len(buf_c) == batch:

@@ -46,9 +46,9 @@ import numpy as np
 
 from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
-from svc_tpu.ops.ccl import connected_components_batched
-from svc_tpu.ops.color import bgr_to_y
-from svc_tpu.ops.dct import dct2_to_wire_blocks
+from svc_tpu.ops.ccl import block_types_from_clusters
+from svc_tpu.ops.color import bgr_planes_to_y
+from svc_tpu.ops.dct import dct2_planes_to_wire
 from svc_tpu.ops.kmeans import kmeans
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma
@@ -169,34 +169,11 @@ class Encoder:
             )
             labels = labels.reshape(mfh, mfw)
 
-            # per-cluster connected components -> block types
-            # (libs/encoder.cpp:597-623): all k cluster masks are labeled
-            # in one batched propagation; each cluster's types start at the
-            # running offset, which advances by that cluster's label count
-            # (components + background) exactly like the reference
-            cluster_masks = (
-                labels[None, :, :] == jnp.arange(k)[:, None, None]
-            )
-            ids, counts = connected_components_batched(
-                cluster_masks, cfg.connected_components_connectivity
-            )
-            offsets = jnp.concatenate(
-                [
-                    jnp.zeros(1, jnp.int32)
-                    + bitstream.BLOCK_TYPE_BACKGROUND,
-                    jnp.cumsum(counts)[:-1]
-                    + bitstream.BLOCK_TYPE_BACKGROUND,
-                ]
-            )
-            btypes = jnp.sum(
-                jnp.where(ids > 0, ids + offsets[:, None, None], 0), axis=0
-            )
-
-            return btypes.astype(jnp.uint32), mv, fg_raw, fg, labels, gm, rmse
+            return mv, fg_raw, fg, labels, gm, rmse
 
         def encode_pairs(
             tracked_pyr: Tuple[jnp.ndarray, ...],
-            anchor_padded: jnp.ndarray,
+            anchor_planes: jnp.ndarray,
             anchor_pyr: Tuple[jnp.ndarray, ...],
             keys: jnp.ndarray,
         ):
@@ -205,19 +182,31 @@ class Encoder:
             Args:
               tracked_pyr / anchor_pyr: per-level ``(T, h_l, w_l)`` luma
                 pyramids.
-              anchor_padded: ``(T, PH, PW, 3)`` uint8 padded anchor frames.
+              anchor_planes: ``(3, T, PH, PW)`` uint8 padded anchor channel
+                planes, order B, G, R (= ``cv::split`` order).
               keys: ``(T,)`` PRNG keys.
             """
-            btypes, mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
+            mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
                 tracked_pyr, anchor_pyr, keys
             )
 
+            # per-cluster connected components -> block types
+            # (libs/encoder.cpp:597-623), one fused batched propagation over
+            # every frame's cluster image (rationale + numbering semantics
+            # in ops/ccl.py:block_types_from_clusters); block type ids start
+            # at BLOCK_TYPE_BACKGROUND (= 0, codec.hpp:6)
+            btypes, _ = block_types_from_clusters(
+                labels, k, cfg.connected_components_connectivity
+            )
+            btypes = btypes.astype(jnp.uint32)
+
             # blockwise DCT on float BGR channels of the anchor frames
             # (libs/encoder.cpp:638-640; channel order = cv::split order),
-            # emitted directly in wire block layout (T, nby, nbx, C, bh, bw)
-            # so host serialization is a memcpy
-            coeffs = dct2_to_wire_blocks(
-                anchor_padded, cfg.transform_block_w, cfg.transform_block_h
+            # emitted directly in merged wire layout (T, nby, nbx, C*bh*bw)
+            # so host serialization is a memcpy (layout rationale in
+            # ops/dct.py:dct2_planes_to_wire)
+            coeffs = dct2_planes_to_wire(
+                anchor_planes, cfg.transform_block_w, cfg.transform_block_h
             )
 
             return {
@@ -229,32 +218,46 @@ class Encoder:
                 "cluster_labels": labels,
                 "global_motion": gm,
                 "ransac_rmse": rmse,
-                "padded_frames": anchor_padded,
+                "padded_planes": anchor_planes,
             }
 
         return encode_pairs
 
-    def preprocess(self, frames_bgr: jnp.ndarray):
-        """Pad + luma + pyramid for a ``(N, H, W, 3)`` uint8 frame stack."""
-        padded = pad_frame(frames_bgr, self.padded_w, self.padded_h)
-        y = bgr_to_y(padded)
-        return padded, tuple(build_pyramid(y, self.cfg.pyr_lvl_count))
+    def preprocess(self, packed_bgr: jnp.ndarray):
+        """Unpack + pad + luma + pyramid for ``(N, H, W*3)`` packed frames.
+
+        The host ships frames as the free reinterpretation ``(N, H, W*3)``
+        of interleaved BGR rows: a trailing channel axis of 3 would be
+        tile-padded to 128 TPU lanes (43x physical memory), so the packed
+        form is de-interleaved on device with three strided lane slices
+        into dense ``(3, N, PH, PW)`` channel planes that every downstream
+        stage (luma, pyramid, DCT) reads at full bandwidth.
+        """
+        n, h, w3 = packed_bgr.shape
+        w = w3 // 3
+        planes = jnp.stack(
+            [packed_bgr[:, :, c::3] for c in range(3)]
+        )  # (3, N, H, W): B, G, R
+        planes = pad_frame(planes, self.padded_w, self.padded_h)
+        y = bgr_planes_to_y(planes[0], planes[1], planes[2])
+        return planes, tuple(build_pyramid(y, self.cfg.pyr_lvl_count))
 
     def _build_encode_batch(self):
-        def encode_batch(frames_bgr: jnp.ndarray, keys: jnp.ndarray):
+        def encode_batch(packed_bgr: jnp.ndarray, keys: jnp.ndarray):
             """Encode ``T = frames - 1`` anchor frames.
 
             Args:
-              frames_bgr: ``(T+1, H, W, 3)`` uint8; frame 0 is the overlap
-                (tracked-only) frame (libs/encoder.cpp:360-365: the first
-                frame is never emitted).
+              packed_bgr: ``(T+1, H, W*3)`` uint8 — interleaved BGR rows
+                reinterpreted flat (see ``preprocess``); frame 0 is the
+                overlap (tracked-only) frame (libs/encoder.cpp:360-365:
+                the first frame is never emitted).
               keys: ``(T,)`` PRNG keys, one per anchor frame.
             """
-            padded, pyr = self.preprocess(frames_bgr)
+            planes, pyr = self.preprocess(packed_bgr)
             tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
             anchor_pyr = tuple(lvl[1:] for lvl in pyr)
             return self.encode_pairs(
-                tracked_pyr, padded[1:], anchor_pyr, keys
+                tracked_pyr, planes[:, 1:], anchor_pyr, keys
             )
 
         return encode_batch
@@ -290,9 +293,12 @@ class Encoder:
 
     def encode_batch(self, frames_bgr: np.ndarray, first_anchor_index: int):
         """Run the jitted pipeline on ``(T+1, H, W, 3)`` uint8 frames."""
-        t = frames_bgr.shape[0] - 1
-        keys = self._keys(first_anchor_index, t)
-        return self._encode_batch(jnp.asarray(frames_bgr), keys)
+        n, h, w, c = frames_bgr.shape
+        keys = self._keys(first_anchor_index, n - 1)
+        # ship the free (N, H, W*3) reinterpretation: a trailing channel
+        # axis would be tile-padded 3->128 lanes on device (see preprocess)
+        packed = np.ascontiguousarray(frames_bgr).reshape(n, h, w * c)
+        return self._encode_batch(jnp.asarray(packed), keys)
 
     def encode_video(
         self,
@@ -322,18 +328,25 @@ class Encoder:
         anchor_index = first_anchor_index
         batch = self.batch_size
 
+        tbw, tbh = self.cfg.transform_block_w, self.cfg.transform_block_h
+
+        def fetch(out):
+            # free host-side view back to per-block (C, bh, bw) layout
+            c = np.asarray(out["coeffs"])
+            t_, nby, nbx, _ = c.shape
+            coeffs = c.reshape(t_, nby, nbx, -1, tbh, tbw)
+            return coeffs, np.asarray(out["block_types"])
+
         def run(window_frames: List[np.ndarray], n_valid: int):
             nonlocal anchor_index
             arr = np.stack(window_frames)
             if tracer is not None:
                 with tracer.span("device_encode", frames=n_valid):
                     out = self.encode_batch(arr, anchor_index)
-                    coeffs = np.asarray(out["coeffs"])
-                    btypes = np.asarray(out["block_types"])
+                    coeffs, btypes = fetch(out)
             else:
                 out = self.encode_batch(arr, anchor_index)
-                coeffs = np.asarray(out["coeffs"])
-                btypes = np.asarray(out["block_types"])
+                coeffs, btypes = fetch(out)
             if on_batch is not None:
                 on_batch(anchor_index, out, n_valid)
             anchor_index += n_valid

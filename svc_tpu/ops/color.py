@@ -24,6 +24,23 @@ _B2Y = 1868
 _SHIFT = 14
 
 
+def bgr_planes_to_y(
+    b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray
+) -> jnp.ndarray:
+    """OpenCV-exact luma from separate uint8 channel planes.
+
+    Same arithmetic as :func:`bgr_to_y`; the plane form keeps every operand
+    dense on TPU (a trailing channel axis of 3 tile-pads to 128 lanes).
+    """
+    y = (
+        r.astype(jnp.int32) * _R2Y
+        + g.astype(jnp.int32) * _G2Y
+        + b.astype(jnp.int32) * _B2Y
+        + (1 << (_SHIFT - 1))
+    ) >> _SHIFT
+    return y.astype(jnp.uint8)
+
+
 def bgr_to_y(frame_bgr: jnp.ndarray) -> jnp.ndarray:
     """Extract OpenCV-exact luma from uint8 BGR pixels.
 

@@ -65,76 +65,57 @@ def dct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarra
     return _from_blocks(out)
 
 
-def dct2_blockwise_nhwc(
-    frames: jnp.ndarray, block_w: int, block_h: int
+def dct2_planes_to_wire(
+    planes: jnp.ndarray, block_w: int, block_h: int
 ) -> jnp.ndarray:
-    """Forward blockwise DCT of uint8 ``(T, H, W, C)`` frames directly into
-    ``(T, C, H, W)`` float32 coefficient planes.
-
-    Fuses the channel-plane split (``cv::split``, libs/encoder.cpp:328),
-    the float conversion (libs/encoder.cpp:638) and both DCT matmuls into
-    one contraction so XLA never materializes a transposed float copy of
-    the frame batch.
-    """
-    t, h, w, c = frames.shape
-    dh = jnp.asarray(dct_matrix(block_h))
-    dw = jnp.asarray(dct_matrix(block_w))
-    blocks = frames.reshape(
-        t, h // block_h, block_h, w // block_w, block_w, c
-    ).astype(jnp.float32)
-    out = jnp.einsum(
-        "ki,tyixjc,lj->tcykxl",
-        dh,
-        blocks,
-        dw,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.reshape(t, c, h, w)
-
-
-def dct2_to_wire_blocks(
-    frames: jnp.ndarray, block_w: int, block_h: int
-) -> jnp.ndarray:
-    """Forward blockwise DCT of uint8 ``(T, H, W, C)`` frames directly into
-    the bitstream's block layout ``(T, nby, nbx, C, bh, bw)``.
+    """Forward blockwise DCT of uint8 ``(C, T, H, W)`` channel planes into
+    the bitstream's per-block payload layout ``(T, nby, nbx, C*bh*bw)``.
 
     The wire format stores each transform block contiguously (type, then
     per-channel coefficient rows — libs/encoder.cpp:243-265), so producing
-    this layout on device turns host serialization into a plain memcpy and
-    avoids materializing transposed float frame copies.
+    this layout on device turns host serialization into a plain memcpy.
+
+    The trailing C*bh*bw axis is deliberately MERGED: a trailing ``(bh,bw)``
+    = (8,8) pair would be tiled to (8,128) TPU lanes — a 16x physical
+    blowup on the 400 MB/batch coefficient write at 1080p. Merged, the
+    trailing axis is 192 (pad to 256, 1.33x). Channel-plane input likewise
+    avoids the 43x tiling blowup of trailing C=3 interleaved frames.
     """
-    t, h, w, c = frames.shape
+    c, t, h, w = planes.shape
     dh = jnp.asarray(dct_matrix(block_h))
     dw = jnp.asarray(dct_matrix(block_w))
-    blocks = frames.reshape(
-        t, h // block_h, block_h, w // block_w, block_w, c
+    blocks = planes.reshape(
+        c, t, h // block_h, block_h, w // block_w, block_w
     ).astype(jnp.float32)
-    return jnp.einsum(
-        "ki,tyixjc,lj->tyxckl",
+    out = jnp.einsum(
+        "ki,ctyixj,lj->tyxckl",
         dh,
         blocks,
         dw,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return out.reshape(t, h // block_h, w // block_w, c * block_h * block_w)
 
 
-def idct2_from_wire_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of ``dct2_to_wire_blocks`` for one frame:
-    ``(nby, nbx, C, bh, bw)`` coefficients -> ``(H, W, C)`` float pixels."""
-    nby, nbx, c, bh, bw = blocks.shape
-    dh = jnp.asarray(dct_matrix(bh))
-    dw = jnp.asarray(dct_matrix(bw))
+def idct2_from_wire_blocks(
+    blocks: jnp.ndarray, channels: int, block_h: int, block_w: int
+) -> jnp.ndarray:
+    """Inverse of ``dct2_planes_to_wire`` for one frame:
+    ``(nby, nbx, C*bh*bw)`` coefficients -> ``(H, W, C)`` float pixels."""
+    nby, nbx, _ = blocks.shape
+    dh = jnp.asarray(dct_matrix(block_h))
+    dw = jnp.asarray(dct_matrix(block_w))
+    split = blocks.reshape(nby, nbx, channels, block_h, block_w)
     out = jnp.einsum(
         "ik,yxcij,jl->ykxlc",
         dh,
-        blocks,
+        split,
         dw,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out.reshape(nby * bh, nbx * bw, c)
+    return out.reshape(nby * block_h, nbx * block_w, channels)
 
 
 def idct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarray:

@@ -80,9 +80,10 @@ class ShardedEncoder:
 
         n_levels = cfg.pyr_lvl_count
         shard = P(FRAME_AXIS)
+        plane_shard = P(None, FRAME_AXIS)  # (3, T, PH, PW): T is axis 1
         in_specs = (
             tuple([shard] * n_levels),  # tracked pyramid levels
-            shard,  # anchor frames
+            plane_shard,  # anchor channel planes
             tuple([shard] * n_levels),  # anchor pyramid levels
             shard,  # keys
         )
@@ -95,7 +96,7 @@ class ShardedEncoder:
             "cluster_labels": shard,
             "global_motion": shard,
             "ransac_rmse": shard,
-            "padded_frames": shard,
+            "padded_planes": plane_shard,
             "total_foreground_blocks": P(),  # replicated after psum
             "mean_ransac_rmse": P(),
         }
@@ -121,17 +122,21 @@ class ShardedEncoder:
             raise ValueError(
                 f"sharded batch needs {self.batch_size}+1 frames, got {t}+1"
             )
-        frames = jnp.asarray(frames_bgr)
-        padded, pyr = self.inner.preprocess(frames)
+        n, h, w, c = frames_bgr.shape
+        packed = jnp.asarray(
+            np.ascontiguousarray(frames_bgr).reshape(n, h, w * c)
+        )
+        planes, pyr = self.inner.preprocess(packed)
         tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
         anchor_pyr = tuple(lvl[1:] for lvl in pyr)
         keys = self.inner._keys(first_anchor_index, t)
 
         sharding = NamedSharding(self.mesh, P(FRAME_AXIS))
+        plane_sharding = NamedSharding(self.mesh, P(None, FRAME_AXIS))
         put = functools.partial(jax.device_put)
         tracked_pyr = tuple(put(x, sharding) for x in tracked_pyr)
         anchor_pyr = tuple(put(x, sharding) for x in anchor_pyr)
-        anchors = put(padded[1:], sharding)
+        anchors = put(planes[:, 1:], plane_sharding)
         keys = put(keys, sharding)
 
         return self._sharded(tracked_pyr, anchors, anchor_pyr, keys)

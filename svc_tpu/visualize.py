@@ -156,7 +156,8 @@ class VisualizingEncoder:
 
     def encode_video(self, frames, on_batch=None, **kwargs):
         def dump(first_index, out, n_valid):
-            frames_np = np.asarray(out["padded_frames"])
+            # (3, T, PH, PW) channel planes -> (T, PH, PW, 3) BGR images
+            frames_np = np.moveaxis(np.asarray(out["padded_planes"]), 0, -1)
             mv = np.asarray(out["mv_field"])
             gm = np.asarray(out["global_motion"])
             fg_raw = np.asarray(out["foreground_mask_raw"])

@@ -181,3 +181,49 @@ class TestKMeans:
         )
         # same ballpark as OpenCV's result (RNGs differ; quirk Q7)
         assert float(compact) < ref_compact * 1.3
+
+
+class TestBlockTypesFromClusters:
+    """The fused per-cluster CCL + offset op must equal the composition the
+    encoder previously ran: per-cluster connected_components_batched, ids +
+    running offsets (reference loop libs/encoder.cpp:597-623)."""
+
+    @pytest.mark.parametrize("connectivity", [4, 8])
+    @pytest.mark.parametrize("seed", [0, 1, 7])
+    def test_matches_per_cluster_composition(self, connectivity, seed):
+        from svc_tpu.ops.ccl import (
+            block_types_from_clusters,
+            connected_components_batched,
+        )
+
+        rng = np.random.default_rng(seed)
+        k, b, h, w = 5, 3, 12, 17
+        # cluster image: ~half background (-1), rest in [0, k)
+        cl = rng.integers(-1, k, (b, h, w)).astype(np.int32)
+        cl = np.where(rng.random((b, h, w)) < 0.4, -1, cl)
+
+        btypes, counts = block_types_from_clusters(
+            jnp.asarray(cl), k, connectivity
+        )
+        btypes, counts = np.asarray(btypes), np.asarray(counts)
+
+        for i in range(b):
+            masks = np.stack([cl[i] == c for c in range(k)])
+            ids, cnts = connected_components_batched(
+                jnp.asarray(masks), connectivity
+            )
+            ids, cnts = np.asarray(ids), np.asarray(cnts)
+            offsets = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            expect = np.sum(
+                np.where(ids > 0, ids + offsets[:, None, None], 0), axis=0
+            )
+            np.testing.assert_array_equal(btypes[i], expect)
+            np.testing.assert_array_equal(counts[i], cnts)
+
+    def test_all_background(self):
+        from svc_tpu.ops.ccl import block_types_from_clusters
+
+        cl = jnp.full((2, 6, 6), -1, jnp.int32)
+        btypes, counts = block_types_from_clusters(cl, 3, 4)
+        assert not np.asarray(btypes).any()
+        np.testing.assert_array_equal(np.asarray(counts), 1)

@@ -103,8 +103,8 @@ class TestGraftEntry:
 
         fn, args = mod.entry()
         coeffs, btypes = jax.jit(fn)(*args)
-        # wire block layout: (T, nby, nbx, C, bh, bw)
-        assert coeffs.shape == (2, 16, 16, 3, 8, 8)
+        # merged wire layout: (T, nby, nbx, C*bh*bw)
+        assert coeffs.shape == (2, 16, 16, 3 * 8 * 8)
         assert btypes.shape == (2, 8, 8)
 
         mod.dryrun_multichip(8)
