@@ -48,7 +48,7 @@ from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
 from svc_tpu.ops.ccl import block_types_from_clusters
 from svc_tpu.ops.color import bgr_planes_to_y
-from svc_tpu.ops.dct import dct2_planes_to_wire
+from svc_tpu.ops.dct import dct2_packed_to_wire
 from svc_tpu.ops.kmeans import kmeans
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma
@@ -176,6 +176,7 @@ class Encoder:
             anchor_planes: jnp.ndarray,
             anchor_pyr: Tuple[jnp.ndarray, ...],
             keys: jnp.ndarray,
+            anchor_packed: jnp.ndarray,
         ):
             """Encode ``T`` explicit (tracked, anchor) pairs.
 
@@ -185,6 +186,8 @@ class Encoder:
               anchor_planes: ``(3, T, PH, PW)`` uint8 padded anchor channel
                 planes, order B, G, R (= ``cv::split`` order).
               keys: ``(T,)`` PRNG keys.
+              anchor_packed: ``(T, PH, PW*3)`` uint8 padded interleaved
+                anchor frames — the DCT input (see dct2_packed_to_wire).
             """
             mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
                 tracked_pyr, anchor_pyr, keys
@@ -202,11 +205,14 @@ class Encoder:
 
             # blockwise DCT on float BGR channels of the anchor frames
             # (libs/encoder.cpp:638-640; channel order = cv::split order),
-            # emitted directly in merged wire layout (T, nby, nbx, C*bh*bw)
-            # so host serialization is a memcpy (layout rationale in
-            # ops/dct.py:dct2_planes_to_wire)
-            coeffs = dct2_planes_to_wire(
-                anchor_planes, cfg.transform_block_w, cfg.transform_block_h
+            # computed straight from the packed interleaved bytes and
+            # emitted in merged wire layout (T, nby, nbx, C*bh*bw) so host
+            # serialization is a memcpy (layout rationale in ops/dct.py)
+            coeffs = dct2_packed_to_wire(
+                anchor_packed,
+                3,
+                cfg.transform_block_w,
+                cfg.transform_block_h,
             )
 
             return {
@@ -256,11 +262,26 @@ class Encoder:
             planes, pyr = self.preprocess(packed_bgr)
             tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
             anchor_pyr = tuple(lvl[1:] for lvl in pyr)
+            packed_padded = self.pad_packed(packed_bgr)
             return self.encode_pairs(
-                tracked_pyr, planes[:, 1:], anchor_pyr, keys
+                tracked_pyr, planes[:, 1:], anchor_pyr, keys,
+                packed_padded[1:],
             )
 
         return encode_batch
+
+    def pad_packed(self, packed_bgr: jnp.ndarray) -> jnp.ndarray:
+        """Zero-pad packed ``(N, H, W*3)`` frames to the codec grid; the
+        interleaved layout pads with 3 zero bytes per excess column."""
+        n, h, w3 = packed_bgr.shape
+        return jnp.pad(
+            packed_bgr,
+            (
+                (0, 0),
+                (0, self.padded_h - h),
+                (0, self.padded_w * 3 - w3),
+            ),
+        )
 
     # ------------------------------------------------------------------
     # host API

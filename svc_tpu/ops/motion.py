@@ -261,19 +261,23 @@ def _refine_select(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Replay the reference's sequential strict-< candidate selection
     (libs/motion.cpp:390-407) over precomputed per-candidate MADs
-    ``(ncand, mfh, mfw)`` in raster offset order."""
+    ``(ncand, mfh, mfw)`` in raster offset order.
+
+    The candidate axis is a small static count, so the replay is unrolled
+    (one fused pass) instead of a ``lax.scan`` — the scan's per-iteration
+    carry writes cost ~1 ms/level per 16-frame 1080p batch.
+    """
     mfh, mfw = mv_field.shape[:2]
     by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
     bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
     mv_round = jnp.round(mv_field).astype(jnp.int32)
     py = by + mv_round[..., 1]
     px = bx + mv_round[..., 0]
-    offsets = jnp.asarray(_candidate_offsets(r))
 
-    def step(state, om):
-        mv, best = state
-        e, mad = om
-        ey, ex = e[0], e[1]
+    mv, best = mv_field, min_mad
+    for i, (ey, ex) in enumerate(_candidate_offsets(r)):
+        ey, ex = int(ey), int(ex)
+        mad = mads[i]
         valid = (
             (py + ey >= 0)
             & (py + ey <= fh - block_h)
@@ -290,9 +294,6 @@ def _refine_select(
         )
         mv = jnp.where(update[..., None], new_mv, mv)
         best = jnp.where(update, mad, best)
-        return (mv, best), None
-
-    (mv, best), _ = jax.lax.scan(step, (mv_field, min_mad), (offsets, mads))
     return mv, best
 
 
@@ -301,11 +302,16 @@ def _spread_cells(
 ) -> jnp.ndarray:
     """Spread a padded frame into per-block neighborhood cells.
 
-    Returns ``(mfh, bh + 2*pad, mfw, bw + 2*pad)`` where cell (i, :, j, :)
+    Returns ``(mfh, bh + 2*pad, bw + 2*pad, mfw)`` where cell (i, :, :, j)
     holds the frame region ``[i*bh - pad, i*bh + bh + pad) x
     [j*bw - pad, ...)``. Built from static slices only — the TPU-friendly
-    substitute for per-block gathers — and kept in this layout (block cols
-    interleaved with pixel cols) so no transpose is ever materialized.
+    substitute for per-block gathers.
+
+    Layout: the BLOCK-COLUMN axis (mfw, e.g. 120 at 1080p/16px) rides the
+    TPU lane dimension. With block columns innermost instead, every
+    candidate window slice would end in a 16-wide axis that tile-pads to
+    128 lanes — an 8x physical blowup on the hottest reads of the whole
+    encoder (measured ~2x end-to-end HBMA cost).
     """
     ph, pw = plane.shape
     fh, fw = ph - 2 * pad, pw - 2 * pad
@@ -323,14 +329,15 @@ def _spread_cells(
     )  # (mfh, ch, pw)
 
     # cols: cw-wide windows at stride bw, assembled from ceil(cw/bw)
-    # shifted contiguous reshapes
+    # shifted contiguous reshapes (window offset moved off the lane axis)
     parts = []
     for c0 in range(0, cw, block_w):
         width = min(block_w, cw - c0)
         seg = strips[:, :, c0 : c0 + mfw * block_w]
-        seg = seg.reshape(mfh, ch, mfw, block_w)[..., :width]
+        seg = seg.reshape(mfh, ch, mfw, block_w)
+        seg = jnp.swapaxes(seg, -1, -2)[:, :, :width, :]
         parts.append(seg)
-    return jnp.concatenate(parts, axis=-1)  # (mfh, ch, mfw, cw)
+    return jnp.concatenate(parts, axis=2)  # (mfh, ch, cw, mfw)
 
 
 def _refine_spread(
@@ -349,19 +356,19 @@ def _refine_spread(
     pad = bound_in + r
 
     # u8 end to end through the shift passes (half the traffic of i16);
-    # widening happens only at the final absolute difference
+    # widening happens only at the final reduction
     tp = jnp.pad(tracked, ((pad, pad), (pad, pad)), constant_values=0)
-    cells = _spread_cells(tp, block_w, block_h, pad)  # (mfh, ch, mfw, cw)
+    cells = _spread_cells(tp, block_w, block_h, pad)  # (mfh, ch, cw, mfw)
 
     mv_round = jnp.round(mv_field).astype(jnp.int32)
-    mvx = mv_round[..., 0][:, None, :, None]  # vs (mfh, y, mfw, x) layout
-    mvy = mv_round[..., 1][:, None, :, None]
+    mvx = mv_round[..., 0][:, None, None, :]  # vs (mfh, y, x, mfw) layout
+    mvy = mv_round[..., 1][:, None, None, :]
 
     wh, ww = block_h + 2 * r, block_w + 2 * r
     shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
 
     # rows: select each block's vertical window position
-    win_rows = jnp.zeros((mfh, wh, mfw, cells.shape[-1]), jnp.uint8)
+    win_rows = jnp.zeros((mfh, wh, cells.shape[2], mfw), jnp.uint8)
     for s in shifts:
         win_rows = jnp.where(
             mvy == s,
@@ -369,30 +376,29 @@ def _refine_spread(
             win_rows,
         )
     # cols: same horizontally
-    windows = jnp.zeros((mfh, wh, mfw, ww), jnp.uint8)
+    windows = jnp.zeros((mfh, wh, ww, mfw), jnp.uint8)
     for s in shifts:
         windows = jnp.where(
             mvx == s,
-            win_rows[:, :, :, pad + s - r : pad + s - r + ww],
+            win_rows[:, :, pad + s - r : pad + s - r + ww, :],
             windows,
         )
 
-    # all (2r+1)^2 candidates are static slices of the selected windows
-    anchor_blocks = anchor.reshape(mfh, block_h, mfw, block_w).astype(
-        jnp.int16
-    )
+    # all (2r+1)^2 candidates are static slices of the selected windows;
+    # |a - b| on uint8 via max - min keeps candidate traffic at one byte
+    anchor_blocks = jnp.swapaxes(
+        anchor.reshape(mfh, block_h, mfw, block_w), 2, 3
+    )  # (mfh, bh, bw, mfw) uint8
     mads = []
     for oy in range(2 * r + 1):
         for ox in range(2 * r + 1):
-            cand = windows[:, oy : oy + block_h, :, ox : ox + block_w]
-            sad = jnp.sum(
-                jnp.abs(cand.astype(jnp.int16) - anchor_blocks).astype(
-                    jnp.int32
-                ),
-                axis=(1, 3),
+            cand = windows[:, oy : oy + block_h, ox : ox + block_w, :]
+            diff = jnp.maximum(cand, anchor_blocks) - jnp.minimum(
+                cand, anchor_blocks
             )
+            sad = jnp.sum(diff.astype(jnp.int32), axis=(1, 2))
             mads.append(sad.astype(jnp.float32) / jnp.float32(area))
-    mads = jnp.stack(mads)
+    # kept as a list: the unrolled selection consumes each MAD in place
 
     return _refine_select(
         mads, mv_field, min_mad, r, block_w, block_h, fh, fw
