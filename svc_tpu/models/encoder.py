@@ -49,7 +49,7 @@ from svc_tpu.io import bitstream
 from svc_tpu.ops.ccl import block_types_from_clusters
 from svc_tpu.ops.color import bgr_planes_to_y
 from svc_tpu.ops.dct import dct2_packed_to_wire
-from svc_tpu.ops.kmeans import kmeans
+from svc_tpu.ops.kmeans import kmeans_t
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma
 from svc_tpu.ops.pad import pad_frame, padded_dims
@@ -148,18 +148,18 @@ class Encoder:
             )
             ys = jnp.broadcast_to(ys, (mfh, mfw))
             xs = jnp.broadcast_to(xs, (mfh, mfw))
+            # features built dimension-major (D, N) so k-means never
+            # transposes on device (svc_tpu.ops.kmeans layout note)
             if cfg.reference_compat:
                 # quirk Q1: effective reference layout (0, mv.x, x, y)
-                feats = jnp.stack(
-                    [jnp.zeros_like(xs), mv[..., 0], xs, ys], axis=-1
-                )
+                rows = [jnp.zeros_like(xs), mv[..., 0], xs, ys]
             else:
-                feats = jnp.stack([mv[..., 0], mv[..., 1], xs, ys], axis=-1)
-            feats = feats.reshape(-1, 4)
+                rows = [mv[..., 0], mv[..., 1], xs, ys]
+            feats_t = jnp.stack([rw.reshape(-1) for rw in rows])
             mask_flat = fg.reshape(-1)
 
-            labels, _, _ = kmeans(
-                feats,
+            labels, _, _ = kmeans_t(
+                feats_t,
                 mask_flat,
                 k,
                 k_kmeans,

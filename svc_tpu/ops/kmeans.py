@@ -98,20 +98,19 @@ def _plus_plus_init(
 
 
 def _assign(xt: jnp.ndarray, centers: jnp.ndarray, mask: jnp.ndarray):
-    """First-wins argmin assignment, unrolled over the k centers.
+    """First-wins argmin assignment with the k axis on TPU sublanes.
 
-    All per-point tensors are ``(N,)`` (lane-resident); the k axis is a
-    static Python loop so no ``(N, k)`` tensor is ever materialized.
+    One fused ``(k, N)`` distance tensor (k pads 10 -> 16 sublanes — dense,
+    unlike a trailing (N, k) layout which would pad k to 128 lanes) and a
+    sublane argmin; ``jnp.argmin`` breaks ties toward the lowest index =
+    OpenCV's first-wins update rule.
     """
-    k = centers.shape[0]
-    best_d2 = jnp.sum((xt - centers[0][:, None]) ** 2, axis=0)
-    labels = jnp.zeros(xt.shape[1], jnp.int32)
-    for j in range(1, k):
-        d2 = jnp.sum((xt - centers[j][:, None]) ** 2, axis=0)
-        closer = d2 < best_d2
-        best_d2 = jnp.where(closer, d2, best_d2)
-        labels = jnp.where(closer, j, labels)
-    point_d2 = jnp.where(mask, jnp.maximum(best_d2, 0.0), 0.0)
+    d2 = jnp.sum(
+        (xt[:, None, :] - centers.T[:, :, None]) ** 2, axis=0
+    )  # (k, N)
+    labels = jnp.argmin(d2, axis=0).astype(jnp.int32)
+    point_d2 = jnp.min(d2, axis=0)
+    point_d2 = jnp.where(mask, jnp.maximum(point_d2, 0.0), 0.0)
     return labels, point_d2
 
 
@@ -147,27 +146,26 @@ def _lloyd_attempt(
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
 
         # empty-cluster repair: the j-th empty cluster (by index) moves onto
-        # the j-th farthest valid point; empties are rare, so find the few
-        # needed maxima with a short masked-argmax loop (cheaper than a
-        # full top-k sort every iteration)
+        # the j-th farthest valid point; empties are rare, so the masked
+        # argmax loop runs a data-dependent n_empty times — usually ZERO
+        # (a batched while whose condition is already false), instead of a
+        # fixed k passes every Lloyd iteration (lax.top_k is worse still:
+        # it lowers to a full sort)
         empty = counts == 0
-        n_empty = jnp.sum(empty)
+        n_empty = jnp.sum(empty.astype(jnp.int32))
 
         def take_far(i, carry):
             far_idx, d2left = carry
             far = jnp.argmax(d2left)
             far_idx = far_idx.at[i].set(far)
             d2left = jnp.where(
-                (i < n_empty)
-                & (jnp.arange(d2left.shape[0]) == far),
-                -1.0,
-                d2left,
+                jnp.arange(d2left.shape[0]) == far, -1.0, d2left
             )
             return far_idx, d2left
 
         far_idx, _ = jax.lax.fori_loop(
             0,
-            k,
+            n_empty,
             take_far,
             (jnp.zeros((k,), jnp.int32), jnp.where(mask, point_d2, -1.0)),
         )
@@ -202,8 +200,8 @@ def _lloyd_attempt(
 @functools.partial(
     jax.jit, static_argnames=("k", "attempts", "max_iter", "epsilon")
 )
-def kmeans(
-    features: jnp.ndarray,
+def kmeans_t(
+    features_t: jnp.ndarray,
     mask: jnp.ndarray,
     k: int,
     key: jnp.ndarray,
@@ -211,10 +209,12 @@ def kmeans(
     max_iter: int = 10,
     epsilon: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Cluster valid feature rows into ``k`` groups.
+    """Cluster valid feature columns of ``(D, N)`` features into ``k``
+    groups — the transpose-free entry point (callers that can build
+    features dimension-major avoid a device transpose per call).
 
     Args:
-      features: ``(N, D)`` float32.
+      features_t: ``(D, N)`` float32, points on the lane axis.
       mask: ``(N,)`` bool validity (foreground blocks).
       k: cluster count (static; the caller mirrors the reference's
         ``min(cluster_count, fg_count)`` clamp, libs/encoder.cpp:557-559).
@@ -224,12 +224,28 @@ def kmeans(
       ``[0, k)`` for valid rows and -1 elsewhere.
     """
     keys = jax.random.split(key, attempts)
-    xt = features.T  # (D, N): points on lanes, one transpose per call
     labels_a, centers_a, compact_a = jax.vmap(
         lambda kk: _lloyd_attempt(
-            kk, xt, mask, k, max_iter, float(epsilon)
+            kk, features_t, mask, k, max_iter, float(epsilon)
         )
     )(keys)
     best = jnp.argmin(compact_a)
     labels = jnp.where(mask, labels_a[best], -1)
     return labels.astype(jnp.int32), centers_a[best], compact_a[best]
+
+
+def kmeans(
+    features: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    key: jnp.ndarray,
+    attempts: int = 3,
+    max_iter: int = 10,
+    epsilon: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cluster valid feature rows of ``(N, D)`` features into ``k`` groups
+    (row-major convenience wrapper over :func:`kmeans_t`)."""
+    return kmeans_t(
+        features.T, mask, k, key,
+        attempts=attempts, max_iter=max_iter, epsilon=epsilon,
+    )

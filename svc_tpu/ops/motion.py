@@ -367,22 +367,47 @@ def _refine_spread(
     wh, ww = block_h + 2 * r, block_w + 2 * r
     shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
 
-    # rows: select each block's vertical window position
-    win_rows = jnp.zeros((mfh, wh, cells.shape[2], mfw), jnp.uint8)
-    for s in shifts:
-        win_rows = jnp.where(
-            mvy == s,
-            cells[:, pad + s - r : pad + s - r + wh, :, :],
-            win_rows,
+    def select_windows(src, axis, mvc, extent):
+        """Select each block's window position along ``axis`` (1 = rows,
+        2 = cols) by its (even, bounded) MV component.
+
+        Wide shift ranges use a two-stage decomposition ``s = a + b``
+        (coarse multiples of 6, fine {-2, 0, 2}): an n-way select chain
+        reads every candidate slice per output element, so splitting 15
+        shifts into 5 + 3 with a slightly taller intermediate cuts the
+        selection traffic ~30%. Valid whenever ``bound_in % 6 == 2`` (then
+        the edge coarse value ``bound_in - 2`` is a multiple of 6 and its
+        stage-1 slice stays inside the cells); the default 4-level pyramid
+        hits bound_in = 14 at the base level.
+        """
+        def take(arr, start, size):
+            if axis == 1:
+                return arr[:, start : start + size, :, :]
+            return arr[:, :, start : start + size, :]
+
+        if len(shifts) < 9 or bound_in % 6 != 2:
+            out = None
+            for s in shifts:
+                sl = take(src, pad + s - r, extent)
+                out = sl if out is None else jnp.where(mvc == s, sl, out)
+            return out
+
+        amax = bound_in - 2
+        a_of = jnp.clip(
+            (jnp.round(mvc / 6.0)).astype(jnp.int32) * 6, -amax, amax
         )
-    # cols: same horizontally
-    windows = jnp.zeros((mfh, wh, ww, mfw), jnp.uint8)
-    for s in shifts:
-        windows = jnp.where(
-            mvx == s,
-            win_rows[:, :, pad + s - r : pad + s - r + ww, :],
-            windows,
-        )
+        inter = None
+        for a in range(-amax, amax + 1, 6):
+            sl = take(src, pad + a - 2 - r, extent + 4)
+            inter = sl if inter is None else jnp.where(a_of == a, sl, inter)
+        out = None
+        for f in (-2, 0, 2):
+            sl = take(inter, 2 + f, extent)
+            out = sl if out is None else jnp.where(mvc - a_of == f, sl, out)
+        return out
+
+    win_rows = select_windows(cells, 1, mvy, wh)
+    windows = select_windows(win_rows, 2, mvx, ww)
 
     # all (2r+1)^2 candidates are static slices of the selected windows;
     # |a - b| on uint8 via max - min keeps candidate traffic at one byte
