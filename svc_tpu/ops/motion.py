@@ -361,6 +361,37 @@ def _refine_spread(
     cells = _spread_cells(tp, block_w, block_h, pad)  # (mfh, ch, cw, mfw)
 
     mv_round = jnp.round(mv_field).astype(jnp.int32)
+
+    # fused Pallas path: window select + all candidate SADs VMEM-resident,
+    # one HBM read of the cells (bit-exact integer arithmetic; the XLA
+    # select-chain below re-reads the cells once per shift)
+    from svc_tpu.ops.motion_pallas import (
+        fused_refine_supported,
+        refine_mads_pallas,
+    )
+
+    if fused_refine_supported(
+        mfh, cells.shape[1], cells.shape[2], mfw, bound_in
+    ):
+        anchor_blocks = jnp.swapaxes(
+            anchor.reshape(mfh, block_h, mfw, block_w), 2, 3
+        )
+        mv_yx = jnp.stack(
+            [mv_round[..., 1][:, None, :], mv_round[..., 0][:, None, :]],
+            axis=1,
+        )  # (mfh, 2, 1, mfw): y then x
+        sads = refine_mads_pallas(
+            cells, anchor_blocks, mv_yx, r, bound_in, pad
+        )
+        ncand = (2 * r + 1) ** 2
+        mads = [
+            sads[:, i, :].astype(jnp.float32) / jnp.float32(area)
+            for i in range(ncand)
+        ]
+        return _refine_select(
+            mads, mv_field, min_mad, r, block_w, block_h, fh, fw
+        )
+
     mvx = mv_round[..., 0][:, None, None, :]  # vs (mfh, y, x, mfw) layout
     mvy = mv_round[..., 1][:, None, None, :]
 

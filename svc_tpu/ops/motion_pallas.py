@@ -369,3 +369,126 @@ def static_refine_supported(
     """
     del r, block_w, block_h, mv_bound, w
     return False
+
+
+# ---------------------------------------------------------------------------
+# Fused spread-cell refine kernel — THE production motion kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_refine_kernel(
+    r: int, bound_in: int, pad: int, bh: int, bw: int, rows_out: int
+):
+    """Kernel factory for :func:`refine_mads_pallas` (all params static)."""
+    shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
+    wh, ww = bh + 2 * r, bw + 2 * r
+
+    def kernel(c_ref, a_ref, m_ref, o_ref, scr_ref):
+        mvy = m_ref[0, 0:1, :, :]  # (1, 1, mfw) int32
+        mvx = m_ref[0, 1:2, :, :]
+
+        # rows: one masked-select chain over the cells ref picks each
+        # block's vertical window position (mirrors motion._refine_spread)
+        win = None
+        for s in shifts:
+            sl = c_ref[0, pad + s - r : pad + s - r + wh, :, :]
+            win = sl if win is None else jnp.where(mvy == s, sl, win)
+        scr_ref[...] = win
+
+        # cols: second chain over the scratch (selecting again from the
+        # chain's own value instead of a ref crashes this Mosaic build)
+        wr = scr_ref[...]
+        out = None
+        for s in shifts:
+            sl = wr[:, pad + s - r : pad + s - r + ww, :]
+            out = sl if out is None else jnp.where(mvx == s, sl, out)
+
+        # every candidate is a static slice; |a-b| in int32 (uint8
+        # max/min and int16 abs both crash this Mosaic build)
+        a = a_ref[0].astype(jnp.int32)
+        o_ref[...] = jnp.zeros_like(o_ref)
+        i = 0
+        for oy in range(2 * r + 1):
+            for ox in range(2 * r + 1):
+                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                sad = jnp.sum(jnp.abs(cand - a), axis=(0, 1))
+                o_ref[0, i : i + 1, :] = sad[None, :]
+                i += 1
+
+    return kernel
+
+
+def refine_mads_pallas(
+    cells: jnp.ndarray,
+    anchor_blocks: jnp.ndarray,
+    mv_yx: jnp.ndarray,
+    r: int,
+    bound_in: int,
+    pad: int,
+) -> jnp.ndarray:
+    """Fused window-select + candidate-SAD refine for one frame.
+
+    The TPU-native replacement for the reference's per-level SSE2 refiners
+    (``RefineHierMotionEst{8x8,16x16}Sse2``, libs/motion.cpp:552-689): the
+    spread cells are read from HBM exactly ONCE and both MV-conditioned
+    window selections plus all ``(2r+1)^2`` candidate SADs happen
+    VMEM-resident — versus the XLA select-chain path, which re-reads the
+    full cell tensor once per shift (measured ~2x the whole HBMA stage).
+
+    Args:
+      cells: ``(mfh, bh + 2*pad, bw + 2*pad, mfw)`` uint8 spread cells
+        (``motion._spread_cells`` layout).
+      anchor_blocks: ``(mfh, bh, bw, mfw)`` uint8.
+      mv_yx: ``(mfh, 2, 1, mfw)`` int32 — row 0 the y components, row 1
+        the x components; values even in ``[-bound_in, bound_in]``.
+      r: refinement search radius; pad: ``bound_in + r``.
+
+    Returns ``(mfh, rows, mfw)`` int32 raw SADs, candidate (oy, ox) in
+    raster order on the first ``(2r+1)**2`` rows (rest zero-padding).
+    Bit-exact vs the XLA path (integer arithmetic throughout).
+    """
+    mfh, ch, cw, mfw = cells.shape
+    bh, bw = anchor_blocks.shape[1], anchor_blocks.shape[2]
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+    wh = bh + 2 * r
+
+    kernel = _make_fused_refine_kernel(r, bound_in, pad, bh, bw, rows_out)
+    return pl.pallas_call(
+        kernel,
+        grid=(mfh,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ch, cw, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bh, bw, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 1, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_out, mfw), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((wh, cw, mfw), jnp.uint8)],
+        interpret=(jax.default_backend() == "cpu"),
+    )(cells, anchor_blocks, mv_yx)
+
+
+def fused_refine_supported(
+    mfh: int, ch: int, cw: int, mfw: int, bound_in: int
+) -> bool:
+    """VMEM-size and shift-structure gate for :func:`refine_mads_pallas`."""
+    cells_bytes = ch * cw * mfw
+    return (
+        mfw >= 8
+        and mfh >= 1
+        and bound_in % 2 == 0
+        and cells_bytes <= 2 * 1024 * 1024
+    )
