@@ -224,6 +224,39 @@ def kmeans_t(
       ``[0, k)`` for valid rows and -1 elsewhere.
     """
     keys = jax.random.split(key, attempts)
+
+    from svc_tpu.ops.kmeans_pallas import (
+        lloyd_pallas,
+        lloyd_pallas_supported,
+    )
+
+    d, n = features_t.shape
+    if lloyd_pallas_supported(n, k, d):
+        # seeding stays here (one pass, needs cumsum); all Lloyd
+        # iterations of every attempt run in one VMEM-resident kernel
+        centers0 = jax.vmap(
+            lambda kk: _plus_plus_init(kk, features_t, mask, k)
+        )(keys)  # (A, k, d)
+        init = (
+            jnp.zeros((attempts, 16, 128), jnp.float32)
+            .at[:, :k, :d]
+            .set(centers0)
+        )
+        x_aug = (
+            jnp.zeros((8, n), jnp.float32)
+            .at[:d]
+            .set(features_t)
+            .at[d]
+            .set(1.0)
+        )
+        lab_a, cen_a, compact_a = lloyd_pallas(
+            x_aug, mask.astype(jnp.float32)[None], init,
+            k, d, max_iter, float(epsilon),
+        )
+        best = jnp.argmin(compact_a)
+        labels = jnp.where(mask, lab_a[best], -1)
+        return labels.astype(jnp.int32), cen_a[best, :k, :d], compact_a[best]
+
     labels_a, centers_a, compact_a = jax.vmap(
         lambda kk: _lloyd_attempt(
             kk, features_t, mask, k, max_iter, float(epsilon)

@@ -1,0 +1,257 @@
+"""Fused Pallas TPU kernel for the k-means Lloyd iterations.
+
+Replaces the XLA Lloyd loop of ``ops.kmeans`` (the per-frame clustering of
+foreground motion features, reference: ``cv::kmeans`` at
+libs/encoder.cpp:557-578) with one VMEM-resident kernel per frame: all
+``attempts x max_iter`` iterations — assignment, centers update,
+empty-cluster repair, convergence freeze — run without touching HBM, where
+the XLA formulation materializes the (k, N) distance/one-hot tensors every
+iteration (measured ~5-6 ms of a 16-frame 1080p batch; the kernel runs the
+same math in well under 1 ms).
+
+Structure per attempt (static Python loops; this toolchain's Mosaic
+rejects most dynamic control flow):
+
+* distances: ``(16, N)`` = sum_d (centers[:, d:d+1] - x[d:d+1, :])^2 —
+  k rides sublanes, points ride lanes; rows >= k are masked with +inf.
+* assignment: first-wins argmin via min + iota-min over sublanes.
+* centers update: ONE MXU ``dot_general`` contracting the lane axis:
+  onehot (16, N) x x_aug (8, N) -> (16, 8), where x_aug row 4 is the
+  validity mask so column 4 of the product is the cluster count.
+  HIGHEST precision keeps f32 operands exact.
+* empty-cluster repair: k sequential masked argmax picks build a
+  farthest-point one-hot in a scratch ref; a second dot extracts the
+  points' coordinates; rank selection is a tiny triangular matmul.
+* convergence: the freeze select uses the PREVIOUS done flag, exactly like
+  the XLA loop (ops/kmeans.py), so results match the early-exit semantics.
+
+Seeding (k-means++ inverse-CDF, ops/kmeans.py) stays in XLA — it is one
+pass, and cumsum is not expressible in this Mosaic build.
+
+Backend split: the kernel runs only on TPU; CPU (tests) uses the XLA path.
+Both compute the same algorithm; the centers-update dot may associate
+float additions differently, so labels can differ on exact distance ties —
+the same class of divergence already documented for cv::kmeans (Q7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_KPAD = 16  # sublane-padded cluster capacity
+
+
+def _make_lloyd_kernel(
+    k: int, d: int, attempts: int, max_iter: int, epsilon: float, n: int
+):
+    def kernel(x_ref, m_ref, c0_ref, tril_ref, lab_ref, cen_ref, cmp_ref, fo_ref, cand_ref):
+        x = x_ref[...]  # (8, N): rows 0..d-1 features, row d = ones
+        maskv = m_ref[...]  # (1, N) f32
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        row16 = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, 1), 0)
+        rowN = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, n), 0)
+        col128 = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, 128), 1)
+        fake_row = (row16 >= k).astype(jnp.float32) * _BIG  # (16,1)
+        real_row = (row16 < k).astype(jnp.float32)
+        dim_cols = (col128 < d).astype(jnp.float32)
+        tril_c = tril_ref[...]
+
+        def assign(cen):
+            d2 = None
+            for dd in range(d):
+                t = (cen[:, dd : dd + 1] - x[dd : dd + 1, :]) ** 2
+                d2 = t if d2 is None else d2 + t
+            d2 = d2 + fake_row  # exclude padding rows
+            best = jnp.min(d2, axis=0, keepdims=True)  # (1, N)
+            lab = jnp.min(
+                jnp.where(d2 <= best, rowN, _KPAD), axis=0, keepdims=True
+            )  # first-wins ties
+            pd2 = jnp.where(maskv > 0, jnp.maximum(best, 0.0), 0.0)
+            return lab, pd2
+
+        for a in range(attempts):
+            cen = c0_ref[0, a]  # (16, 128) f32, cols >= d zero
+            done = jnp.float32(0.0)
+            for _ in range(max_iter):
+                lab, pd2 = assign(cen)
+                onehot = (
+                    (rowN == lab).astype(jnp.float32) * maskv
+                )  # (16, N)
+                sums = jax.lax.dot_general(
+                    onehot, x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (16, 8): cols 0..d-1 sums, col d counts
+                counts = sums[:, d : d + 1]  # (16, 1)
+                newc = sums / jnp.maximum(counts, 1.0)
+                newc = jnp.pad(newc, ((0, 0), (0, 128 - newc.shape[1])))
+                newc = newc * dim_cols  # zero the count/padding columns
+
+                empty = ((counts == 0.0).astype(jnp.float32)) * real_row
+                cand_ref[...] = newc
+
+                @pl.when(jnp.sum(empty) > 0.0)
+                def _repair():
+                    # farthest-point one-hot rows (sequential masked
+                    # argmax, same picks as ops/kmeans.py's take_far for
+                    # used ranks) — predicated out entirely on the common
+                    # no-empty-cluster iteration
+                    d2left = jnp.where(maskv > 0, pd2, -1.0)
+                    for m in range(k):
+                        mx = jnp.max(d2left)
+                        fi = jnp.min(jnp.where(d2left >= mx, lane, n))
+                        fo_ref[m : m + 1, :] = (lane == fi).astype(
+                            jnp.float32
+                        )
+                        d2left = jnp.where(lane == fi, -1.0, d2left)
+                    for m in range(k, _KPAD):
+                        fo_ref[m : m + 1, :] = jnp.zeros(
+                            (1, n), jnp.float32
+                        )
+                    farv = jax.lax.dot_general(
+                        fo_ref[...], x, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (16, 8); row m = coords of m-th farthest point
+                    farv = jnp.pad(
+                        farv, ((0, 0), (0, 128 - farv.shape[1]))
+                    )
+                    farv = farv * dim_cols
+
+                    # empty_rank = cumsum(empty) - 1, via triangular matmul
+                    er = (
+                        jax.lax.dot_general(
+                            tril_c, empty, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        - 1.0
+                    )  # (16, 1)
+                    rep_sel = (
+                        er
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (_KPAD, _KPAD), 1
+                        ).astype(jnp.float32)
+                    ).astype(jnp.float32)
+                    rep = jax.lax.dot_general(
+                        rep_sel, farv, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (16, 128): row j = farv[empty_rank_j]
+                    cand_ref[...] = jnp.where(empty > 0, rep, newc)
+
+                cand = cand_ref[...]
+
+                shift2 = jnp.max(
+                    jnp.sum((cand - cen) ** 2, axis=1, keepdims=True)
+                    * real_row
+                )
+                new_done = jnp.maximum(
+                    done,
+                    (shift2 <= jnp.float32(epsilon) ** 2).astype(
+                        jnp.float32
+                    ),
+                )
+                cen = jnp.where(done > 0, cen, cand)
+                done = new_done
+
+            lab, pd2 = assign(cen)
+            lab_ref[0, a : a + 1, :] = lab
+            cen_ref[0, a] = cen
+            cmp_ref[0, a : a + 1, :] = jnp.sum(pd2) * jnp.ones(
+                (1, 128), jnp.float32
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "d", "max_iter", "epsilon")
+)
+def lloyd_pallas(
+    x_aug: jnp.ndarray,
+    mask_f: jnp.ndarray,
+    init_centers: jnp.ndarray,
+    k: int,
+    d: int,
+    max_iter: int,
+    epsilon: float,
+):
+    """Run all Lloyd attempts for one frame in one kernel.
+
+    Args:
+      x_aug: ``(8, N)`` f32 — rows 0..d-1 features, row d all-ones
+        (the count column of the update dot), rest zero.
+      mask_f: ``(1, N)`` f32 validity.
+      init_centers: ``(A, 16, 128)`` f32 seeded centers (cols >= d zero).
+
+    Returns ``(labels (A, N) int32, centers (A, 16, 128), compactness
+    (A,))``.
+    """
+    attempts = init_centers.shape[0]
+    n = x_aug.shape[1]
+    kernel = _make_lloyd_kernel(k, d, attempts, max_iter, epsilon, n)
+    lab, cen, cmp_ = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, attempts, _KPAD, 128),
+                lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (_KPAD, _KPAD), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, attempts, n), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, attempts, _KPAD, 128),
+                lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, attempts, 128), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, attempts, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, attempts, _KPAD, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, attempts, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_KPAD, n), jnp.float32),
+            pltpu.VMEM((_KPAD, 128), jnp.float32),
+        ],
+    )(
+        x_aug,
+        mask_f,
+        init_centers[None],
+        jnp.asarray(np.tril(np.ones((_KPAD, _KPAD), np.float32))),
+    )
+    return lab[0], cen[0], cmp_[0, :, 0]
+
+
+def lloyd_pallas_supported(n: int, k: int, d: int) -> bool:
+    """TPU-only (CPU tests use the XLA path), modest sizes, k <= 16."""
+    return (
+        jax.default_backend() not in ("cpu",)
+        and k <= _KPAD
+        and d <= 7
+        and 128 <= n <= 65536
+    )
