@@ -329,15 +329,15 @@ def _spread_cells(
     )  # (mfh, ch, pw)
 
     # cols: cw-wide windows at stride bw, assembled from ceil(cw/bw)
-    # shifted contiguous reshapes (window offset moved off the lane axis)
+    # shifted contiguous reshapes; the parts concatenate on the LAST axis
+    # first so the expensive lane transpose happens ONCE on the combined
+    # tensor instead of once per part (XLA fuses concat into the transpose)
     parts = []
     for c0 in range(0, cw, block_w):
-        width = min(block_w, cw - c0)
         seg = strips[:, :, c0 : c0 + mfw * block_w]
-        seg = seg.reshape(mfh, ch, mfw, block_w)
-        seg = jnp.swapaxes(seg, -1, -2)[:, :, :width, :]
-        parts.append(seg)
-    return jnp.concatenate(parts, axis=2)  # (mfh, ch, cw, mfw)
+        parts.append(seg.reshape(mfh, ch, mfw, block_w))
+    stacked = jnp.concatenate(parts, axis=-1)  # (mfh, ch, mfw, n*bw)
+    return jnp.swapaxes(stacked, -1, -2)[:, :, :cw, :]  # (mfh, ch, cw, mfw)
 
 
 def _refine_spread(
@@ -355,33 +355,26 @@ def _refine_spread(
     area = float(block_w * block_h)
     pad = bound_in + r
 
-    # u8 end to end through the shift passes (half the traffic of i16);
-    # widening happens only at the final reduction
-    tp = jnp.pad(tracked, ((pad, pad), (pad, pad)), constant_values=0)
-    cells = _spread_cells(tp, block_w, block_h, pad)  # (mfh, ch, cw, mfw)
-
     mv_round = jnp.round(mv_field).astype(jnp.int32)
 
     # fused Pallas path: window select + all candidate SADs VMEM-resident,
-    # one HBM read of the cells (bit-exact integer arithmetic; the XLA
-    # select-chain below re-reads the cells once per shift)
+    # one HBM read of the block-pitched plane (bit-exact integer
+    # arithmetic; the XLA select-chain fallback below materializes
+    # overlapping spread cells and re-reads them once per shift)
     from svc_tpu.ops.motion_pallas import (
         fused_refine_supported,
         refine_mads_pallas,
     )
 
     if fused_refine_supported(
-        mfh, cells.shape[1], cells.shape[2], mfw, bound_in
+        mfh, block_h + 2 * pad, block_w + 2 * pad, mfw, bound_in
     ):
-        anchor_blocks = jnp.swapaxes(
-            anchor.reshape(mfh, block_h, mfw, block_w), 2, 3
-        )
         mv_yx = jnp.stack(
             [mv_round[..., 1][:, None, :], mv_round[..., 0][:, None, :]],
             axis=1,
         )  # (mfh, 2, 1, mfw): y then x
         sads = refine_mads_pallas(
-            cells, anchor_blocks, mv_yx, r, bound_in, pad
+            tracked, anchor, mv_yx, r, bound_in, block_w, block_h
         )
         ncand = (2 * r + 1) ** 2
         mads = [
@@ -391,6 +384,11 @@ def _refine_spread(
         return _refine_select(
             mads, mv_field, min_mad, r, block_w, block_h, fh, fw
         )
+
+    # u8 end to end through the shift passes (half the traffic of i16);
+    # widening happens only at the final reduction
+    tp = jnp.pad(tracked, ((pad, pad), (pad, pad)), constant_values=0)
+    cells = _spread_cells(tp, block_w, block_h, pad)  # (mfh, ch, cw, mfw)
 
     mvx = mv_round[..., 0][:, None, None, :]  # vs (mfh, y, x, mfw) layout
     mvy = mv_round[..., 1][:, None, None, :]

@@ -377,27 +377,37 @@ def static_refine_supported(
 
 
 def _make_fused_refine_kernel(
-    r: int, bound_in: int, pad: int, bh: int, bw: int, rows_out: int
+    r: int, bound_in: int, pad: int, bh: int, bw: int, n_tiles: int, cw: int
 ):
     """Kernel factory for :func:`refine_mads_pallas` (all params static)."""
     shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
     wh, ww = bh + 2 * r, bw + 2 * r
 
-    def kernel(c_ref, a_ref, m_ref, o_ref, scr_ref):
+    def kernel(*refs):
+        views = refs[:n_tiles]
+        a_ref, m_ref, o_ref, cells_scr, win_scr = refs[n_tiles:]
+
+        # assemble this block row's overlapping cell window from the
+        # consecutive row tiles (pallas index_maps stride by whole blocks,
+        # so overlap is realized as multiple shifted views — the same halo
+        # technique as ops/pyramid_pallas.py)
+        for t in range(n_tiles):
+            cells_scr[t * bh : (t + 1) * bh, :, :] = views[t][0]
+
         mvy = m_ref[0, 0:1, :, :]  # (1, 1, mfw) int32
         mvx = m_ref[0, 1:2, :, :]
 
-        # rows: one masked-select chain over the cells ref picks each
+        # rows: one masked-select chain over the scratch picks each
         # block's vertical window position (mirrors motion._refine_spread)
         win = None
         for s in shifts:
-            sl = c_ref[0, pad + s - r : pad + s - r + wh, :, :]
+            sl = cells_scr[pad + s - r : pad + s - r + wh, :, :]
             win = sl if win is None else jnp.where(mvy == s, sl, win)
-        scr_ref[...] = win
+        win_scr[...] = win
 
         # cols: second chain over the scratch (selecting again from the
         # chain's own value instead of a ref crashes this Mosaic build)
-        wr = scr_ref[...]
+        wr = win_scr[...]
         out = None
         for s in shifts:
             sl = wr[:, pad + s - r : pad + s - r + ww, :]
@@ -419,51 +429,85 @@ def _make_fused_refine_kernel(
 
 
 def refine_mads_pallas(
-    cells: jnp.ndarray,
-    anchor_blocks: jnp.ndarray,
+    tracked: jnp.ndarray,
+    anchor: jnp.ndarray,
     mv_yx: jnp.ndarray,
     r: int,
     bound_in: int,
-    pad: int,
+    block_w: int,
+    block_h: int,
 ) -> jnp.ndarray:
     """Fused window-select + candidate-SAD refine for one frame.
 
     The TPU-native replacement for the reference's per-level SSE2 refiners
     (``RefineHierMotionEst{8x8,16x16}Sse2``, libs/motion.cpp:552-689): the
-    spread cells are read from HBM exactly ONCE and both MV-conditioned
-    window selections plus all ``(2r+1)^2`` candidate SADs happen
-    VMEM-resident — versus the XLA select-chain path, which re-reads the
-    full cell tensor once per shift (measured ~2x the whole HBMA stage).
+    tracked plane is read in block-pitched form exactly ONCE and both
+    MV-conditioned window selections plus all ``(2r+1)^2`` candidate SADs
+    happen VMEM-resident — versus the XLA select-chain path, which
+    materializes 9x-overlapping strips and re-reads them once per shift.
 
     Args:
-      cells: ``(mfh, bh + 2*pad, bw + 2*pad, mfw)`` uint8 spread cells
-        (``motion._spread_cells`` layout).
-      anchor_blocks: ``(mfh, bh, bw, mfw)`` uint8.
+      tracked / anchor: ``(fh, fw)`` uint8 luma planes.
       mv_yx: ``(mfh, 2, 1, mfw)`` int32 — row 0 the y components, row 1
         the x components; values even in ``[-bound_in, bound_in]``.
-      r: refinement search radius; pad: ``bound_in + r``.
 
     Returns ``(mfh, rows, mfw)`` int32 raw SADs, candidate (oy, ox) in
     raster order on the first ``(2r+1)**2`` rows (rest zero-padding).
     Bit-exact vs the XLA path (integer arithmetic throughout).
     """
-    mfh, ch, cw, mfw = cells.shape
-    bh, bw = anchor_blocks.shape[1], anchor_blocks.shape[2]
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    pad = bound_in + r
+    ch = block_h + 2 * pad
+    cw = block_w + 2 * pad
+    wh = block_h + 2 * r
     ncand = (2 * r + 1) ** 2
     rows_out = ((ncand + 7) // 8) * 8
-    wh = bh + 2 * r
+    n_tiles = -(-ch // block_h)
 
-    kernel = _make_fused_refine_kernel(r, bound_in, pad, bh, bw, rows_out)
+    # block-pitched plane: cells_p[row, o, j] = padded[row, j*bw + o] —
+    # one lane transpose per bw-wide part instead of transposing
+    # 9x-duplicated overlapping strips
+    rows_p = (mfh - 1 + n_tiles) * block_h
+    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
+    tp = jnp.pad(
+        tracked,
+        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
+    )
+    parts = [
+        jnp.swapaxes(
+            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
+            -1,
+            -2,
+        )
+        for c0 in range(0, cw, block_w)
+    ]
+    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
+    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
+
+    # anchor in block-pitched layout: leading-dim reshape is free
+    anchor_p = jnp.swapaxes(
+        anchor.reshape(fh, mfw, block_w), -1, -2
+    ).reshape(mfh, block_h, block_w, mfw)
+
+    kernel = _make_fused_refine_kernel(
+        r, bound_in, pad, block_h, block_w, n_tiles, cw
+    )
+    tile_specs = [
+        pl.BlockSpec(
+            (1, block_h, cw, mfw),
+            functools.partial(lambda d, i: (i + d, 0, 0, 0), d),
+            memory_space=pltpu.VMEM,
+        )
+        for d in range(n_tiles)
+    ]
     return pl.pallas_call(
         kernel,
         grid=(mfh,),
-        in_specs=[
+        in_specs=tile_specs
+        + [
             pl.BlockSpec(
-                (1, ch, cw, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bh, bw, mfw), lambda i: (i, 0, 0, 0),
+                (1, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -476,9 +520,12 @@ def refine_mads_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((wh, cw, mfw), jnp.uint8)],
+        scratch_shapes=[
+            pltpu.VMEM((n_tiles * block_h, cw, mfw), jnp.uint8),
+            pltpu.VMEM((wh, cw, mfw), jnp.uint8),
+        ],
         interpret=(jax.default_backend() == "cpu"),
-    )(cells, anchor_blocks, mv_yx)
+    )(*([tiles] * n_tiles), anchor_p, mv_yx)
 
 
 def fused_refine_supported(
