@@ -93,6 +93,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     cfg = _AppConfig()
 
+    from svc_tpu.runtime.platform import assert_env_platform
+
+    assert_env_platform()
+
     status, _ = cli.parse_opts(argv, _opts(cfg))
     if status != cli.Status.OK:
         print(
@@ -175,10 +179,8 @@ def _run_gui(cfg, decoder, stream, header) -> int:
         for _ in range(header.frame_count):
             yield (mouse["x"], mouse["y"])
 
-    decoder.batch_size = 1  # latency over throughput in GUI mode
-    decoder._decode_batch = __import__("jax").jit(
-        decoder._build_decode_batch()
-    )
+    # latency over throughput in GUI mode: a fresh single-frame decoder
+    decoder = Decoder(decoder.cfg, header, batch_size=1)
     for frame in decoder.decode_frames(
         bitstream.read_frames(stream, header), gaze_stream()
     ):

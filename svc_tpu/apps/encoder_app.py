@@ -15,6 +15,10 @@ Extensions beyond the reference surface:
   --reference-compat N   1 reproduces the reference's k-means feature bug (Q1)
   --visualize DIR   dump per-stage visualization frames to DIR (the
                     encoder-visualizer build flavor, libs/CMakeLists.txt:13-15)
+  --devices N       shard frame batches across N devices of a 1-D mesh
+                    (jax.sharding over ICI; ``--batch-size`` becomes the
+                    per-device batch). The bitstream is byte-identical to
+                    a single-device encode. 0 (default) = single device.
 """
 
 from __future__ import annotations
@@ -26,7 +30,11 @@ from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.config import validate_encoder_config
 from svc_tpu.io.video import VideoReader
 from svc_tpu.models.encoder import Encoder
-from svc_tpu.runtime.pipeline import BoundedQueue, pipeline_threads
+from svc_tpu.runtime.pipeline import (
+    BoundedQueue,
+    CancelToken,
+    pipeline_threads,
+)
 from svc_tpu.utils import cli
 
 
@@ -43,6 +51,7 @@ class _AppConfig:
         self.no_header = 0
         self.trace: Optional[str] = None
         self.profile: Optional[str] = None
+        self.devices = 0  # 0 = single device
 
 
 def _opts(c: _AppConfig) -> List[cli.Opt]:
@@ -95,6 +104,8 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         # observability
         cli.Opt("trace", S, fs(c, "trace")),
         cli.Opt("profile", S, fs(c, "profile")),
+        # scale-out
+        cli.Opt("devices", U, fs(c, "devices")),
     ]
 
 
@@ -139,10 +150,38 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"  Frame count: {props.frame_count}", file=sys.stderr)
 
     from svc_tpu.runtime.cache import enable_persistent_cache
+    from svc_tpu.runtime.platform import assert_env_platform
 
+    assert_env_platform()
     enable_persistent_cache()
 
-    encoder = Encoder(cfg.encoder, props, batch_size=cfg.batch_size)
+    if cfg.devices > 1:
+        import jax
+
+        from svc_tpu.parallel.sharding import ShardedEncoder, make_frame_mesh
+
+        avail = len(jax.devices())
+        if avail < cfg.devices:
+            print(
+                f"requested {cfg.devices} devices but only {avail} "
+                "available",
+                file=sys.stderr,
+            )
+            return 1
+        encoder = ShardedEncoder(
+            cfg.encoder,
+            props,
+            make_frame_mesh(cfg.devices),
+            batch_per_device=cfg.batch_size,
+        )
+        if cfg.verbose:
+            print(
+                f"sharding {encoder.batch_size}-frame batches across "
+                f"{cfg.devices} devices",
+                file=sys.stderr,
+            )
+    else:
+        encoder = Encoder(cfg.encoder, props, batch_size=cfg.batch_size)
 
     if cfg.visualize:
         from svc_tpu.visualize import VisualizingEncoder
@@ -179,12 +218,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             tracer=tracer if cfg.trace else None,
         )
 
+    cancel = CancelToken()
+
     try:
         # 3-stage pipeline: reader thread -> encode (main) -> writer
         # (the reference's thread layout, apps/encoder.cpp:223-228); the
-        # writer stage is the native C++ queue+thread when available
+        # writer stage is the native C++ queue+thread when available.
+        # Ctrl-C cancels the token so every stage unwinds promptly (the
+        # live counterpart of the reference's unused interruptible-thread
+        # framework, libs/thread.hpp:30-152).
         def produce(q: BoundedQueue) -> None:
             for frame in reader:
+                cancel.check()
                 q.push(frame)
 
         def consume(q: BoundedQueue) -> None:
@@ -205,13 +250,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                     out.write(chunk)
 
             try:
-                pipeline_threads(write_all, drain, capacity=10)
+                pipeline_threads(write_all, drain, capacity=10,
+                                 cancel=cancel)
             finally:
                 if cfg.output:
                     out.close()
 
         with device_profile(cfg.profile):
-            pipeline_threads(produce, consume, capacity=10)
+            pipeline_threads(produce, consume, capacity=10, cancel=cancel)
+    except KeyboardInterrupt:
+        cancel.cancel()
+        print("interrupted", file=sys.stderr)
+        return 130
     finally:
         reader.close()
 

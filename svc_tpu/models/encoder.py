@@ -331,72 +331,120 @@ class Encoder:
         tracer=None,
     ) -> Iterator[bytes]:
         """Stream encode: yields the header, then one payload per anchor
-        frame. The batch shape is fixed so the pipeline compiles once;
-        the final partial batch is padded and its surplus discarded.
+        frame. See :func:`stream_encode`."""
+        return stream_encode(
+            self,
+            frames,
+            on_batch=on_batch,
+            emit_header=emit_header,
+            header_frame_count=header_frame_count,
+            first_anchor_index=first_anchor_index,
+            tracer=tracer,
+        )
 
-        ``on_batch(first_anchor_index, outputs, n_valid)`` is an optional
-        observability hook (used by the visualizer); ``tracer`` records
-        device/serialize spans (runtime.tracing.Tracer).
-        ``emit_header=False`` plus ``first_anchor_index`` support
-        resuming a partially written stream — the codec state for frame t
-        is only frame t-1 (libs/encoder.cpp:661-663), so the caller just
-        feeds frames starting one before the resume point.
-        """
-        if emit_header:
-            yield self.header(header_frame_count).pack()
 
-        window: List[np.ndarray] = []
-        anchor_index = first_anchor_index
-        batch = self.batch_size
+def stream_encode(
+    enc,
+    frames: Iterator[np.ndarray],
+    on_batch=None,
+    emit_header: bool = True,
+    header_frame_count: Optional[int] = None,
+    first_anchor_index: int = 0,
+    tracer=None,
+) -> Iterator[bytes]:
+    """Stream encode through any encoder exposing the batch protocol
+    (``header()``, ``batch_size``, ``cfg``, ``encode_batch``) — the
+    single-chip :class:`Encoder` and the mesh-sharded
+    ``parallel.sharding.ShardedEncoder`` both do.
 
-        tbw, tbh = self.cfg.transform_block_w, self.cfg.transform_block_h
+    Yields the header, then one payload per anchor frame. The batch shape
+    is fixed so the pipeline compiles once; the final partial batch is
+    padded and its surplus discarded.
 
-        def fetch(out):
-            # free host-side view back to per-block (C, bh, bw) layout
-            c = np.asarray(out["coeffs"])
-            t_, nby, nbx, _ = c.shape
-            coeffs = c.reshape(t_, nby, nbx, -1, tbh, tbw)
-            return coeffs, np.asarray(out["block_types"])
+    Device->host readback OVERLAPS the next batch's compute: a batch's
+    outputs are dispatched asynchronously and fetched only after the next
+    batch has been enqueued (JAX's async dispatch queues the work), so the
+    D2H transfer of batch i rides alongside the device compute of batch
+    i+1 — the streaming analog of the reference's reader/encoder/writer
+    thread overlap (apps/encoder.cpp:172-229).
 
-        def run(window_frames: List[np.ndarray], n_valid: int):
-            nonlocal anchor_index
-            arr = np.stack(window_frames)
-            if tracer is not None:
-                with tracer.span("device_encode", frames=n_valid):
-                    out = self.encode_batch(arr, anchor_index)
-                    coeffs, btypes = fetch(out)
-            else:
-                out = self.encode_batch(arr, anchor_index)
+    ``on_batch(first_anchor_index, outputs, n_valid)`` is an optional
+    observability hook (used by the visualizer); ``tracer`` records
+    device/serialize spans (runtime.tracing.Tracer).
+    ``emit_header=False`` plus ``first_anchor_index`` support resuming a
+    partially written stream — the codec state for frame t is only frame
+    t-1 (libs/encoder.cpp:661-663), so the caller just feeds frames
+    starting one before the resume point.
+    """
+    if emit_header:
+        yield enc.header(header_frame_count).pack()
+
+    window: List[np.ndarray] = []
+    anchor_index = first_anchor_index
+    batch = enc.batch_size
+
+    tbw = enc.cfg.transform_block_w
+    tbh = enc.cfg.transform_block_h
+
+    def fetch(out):
+        # free host-side view back to per-block (C, bh, bw) layout
+        c = np.asarray(out["coeffs"])
+        t_, nby, nbx, _ = c.shape
+        coeffs = c.reshape(t_, nby, nbx, -1, tbh, tbw)
+        return coeffs, np.asarray(out["block_types"])
+
+    def serialize(pending):
+        out, first_index, n_valid = pending
+        if tracer is not None:
+            with tracer.span("device_fetch", frames=n_valid):
                 coeffs, btypes = fetch(out)
-            if on_batch is not None:
-                on_batch(anchor_index, out, n_valid)
-            anchor_index += n_valid
-            for i in range(n_valid):
-                if tracer is not None:
-                    with tracer.span("serialize"):
-                        payload = bitstream.serialize_frame_blocks(
-                            coeffs[i],
-                            btypes[i],
-                            self.cfg.mv_block_w,
-                            self.cfg.mv_block_h,
-                        )
-                else:
+        else:
+            coeffs, btypes = fetch(out)
+        if on_batch is not None:
+            on_batch(first_index, out, n_valid)
+        for i in range(n_valid):
+            if tracer is not None:
+                with tracer.span("serialize"):
                     payload = bitstream.serialize_frame_blocks(
                         coeffs[i],
                         btypes[i],
-                        self.cfg.mv_block_w,
-                        self.cfg.mv_block_h,
+                        enc.cfg.mv_block_w,
+                        enc.cfg.mv_block_h,
                     )
-                yield payload
+            else:
+                payload = bitstream.serialize_frame_blocks(
+                    coeffs[i],
+                    btypes[i],
+                    enc.cfg.mv_block_w,
+                    enc.cfg.mv_block_h,
+                )
+            yield payload
 
-        for frame in frames:
-            window.append(np.asarray(frame, dtype=np.uint8))
-            if len(window) == batch + 1:
-                yield from run(window, batch)
-                window = window[-1:]  # overlap frame
+    pending = None  # one batch in flight: fetch i while i+1 computes
 
-        remainder = len(window) - 1
-        if remainder > 0:
-            # pad to the compiled batch shape; discard surplus outputs
-            pad = [window[-1]] * (batch - remainder)
-            yield from run(window + pad, remainder)
+    def run(window_frames: List[np.ndarray], n_valid: int):
+        nonlocal anchor_index, pending
+        arr = np.stack(window_frames)
+        if tracer is not None:
+            with tracer.span("device_dispatch", frames=n_valid):
+                out = enc.encode_batch(arr, anchor_index)
+        else:
+            out = enc.encode_batch(arr, anchor_index)
+        prev, pending = pending, (out, anchor_index, n_valid)
+        anchor_index += n_valid
+        if prev is not None:
+            yield from serialize(prev)
+
+    for frame in frames:
+        window.append(np.asarray(frame, dtype=np.uint8))
+        if len(window) == batch + 1:
+            yield from run(window, batch)
+            window = window[-1:]  # overlap frame
+
+    remainder = len(window) - 1
+    if remainder > 0:
+        # pad to the compiled batch shape; discard surplus outputs
+        pad = [window[-1]] * (batch - remainder)
+        yield from run(window + pad, remainder)
+    if pending is not None:
+        yield from serialize(pending)

@@ -116,6 +116,24 @@ class ShardedEncoder:
             )
         )
 
+    @property
+    def cfg(self):
+        return self.inner.cfg
+
+    def header(self, frame_count=None):
+        return self.inner.header(frame_count)
+
+    def encode_video(self, frames, **kwargs):
+        """Stream shard-encode a video: the single-chip streaming loop
+        (models.encoder.stream_encode) over mesh-sharded batches. The
+        bitstream is byte-identical to the single-chip encoder's — frames
+        are data-parallel given the overlap frame, and the ordered host
+        gather preserves the sequential wire contract
+        (tests/test_sharding.py asserts CLI-level byte identity)."""
+        from svc_tpu.models.encoder import stream_encode
+
+        return stream_encode(self, frames, **kwargs)
+
     def encode_batch(self, frames_bgr: np.ndarray, first_anchor_index: int):
         """Encode ``(T+1, H, W, 3)`` uint8 frames, ``T = batch_size``.
 

@@ -104,7 +104,7 @@ class TestEncoderApp:
         )
         assert rc == 0
         stats = json.load(open(tr))["stats"]
-        assert "device_encode" in stats and "serialize" in stats
+        assert "device_dispatch" in stats and "serialize" in stats
 
 
 class TestDecoderApp:

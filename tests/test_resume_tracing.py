@@ -164,5 +164,5 @@ class TestTracer:
         tr = Tracer()
         list(enc.encode_video(iter(frames), tracer=tr))
         stats = tr.stats()
-        assert stats["device_encode"]["count"] >= 1
+        assert stats["device_dispatch"]["count"] >= 1
         assert stats["serialize"]["count"] == 3

@@ -108,3 +108,44 @@ class TestGraftEntry:
         assert btypes.shape == (2, 8, 8)
 
         mod.dryrun_multichip(8)
+
+
+class TestShardedCLI:
+    """--devices N is a product feature: the CLI's shard-encoded bitstream
+    must be byte-identical to the single-device one (VERDICT round-1 #6)."""
+
+    def test_cli_shard_encode_byte_identical(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        from svc_tpu.io.video import write_raw_avi
+
+        clip = _frames(7, h=48, w=64)
+        avi = str(tmp_path / "clip.avi")
+        write_raw_avi(avi, clip)
+
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=(
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip(),
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def run(extra):
+            return subprocess.run(
+                [_sys.executable, "-m", "svc_tpu.apps.encoder_app",
+                 "--mv-block-w", "8", "--mv-block-h", "8",
+                 "--mv-search-range", "4", "--pyr-lvl-count", "2",
+                 "--kmeans-cluster-count", "3", "--batch-size", "2"]
+                + extra + [avi],
+                capture_output=True, check=True, env=env, cwd=repo,
+            ).stdout
+
+        single = run([])
+        sharded = run(["--devices", "2"])
+        assert len(single) > 32
+        assert sharded == single
