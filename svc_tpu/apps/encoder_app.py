@@ -15,6 +15,9 @@ Extensions beyond the reference surface:
   --reference-compat N   1 reproduces the reference's k-means feature bug (Q1)
   --visualize DIR   dump per-stage visualization frames to DIR (the
                     encoder-visualizer build flavor, libs/CMakeLists.txt:13-15)
+  --show N          1 opens a live window with the 7-view composite while
+                    encoding (the reference encoder-visualizer's display,
+                    libs/encoder.cpp:654-659); requires OpenCV
   --devices N       shard frame batches across N devices of a 1-D mesh
                     (jax.sharding over ICI; ``--batch-size`` becomes the
                     per-device batch). The bitstream is byte-identical to
@@ -52,6 +55,7 @@ class _AppConfig:
         self.trace: Optional[str] = None
         self.profile: Optional[str] = None
         self.devices = 0  # 0 = single device
+        self.show = 0
 
 
 def _opts(c: _AppConfig) -> List[cli.Opt]:
@@ -96,6 +100,7 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.Opt("output", S, fs(c, "output")),
         cli.Opt("batch-size", U, fs(c, "batch_size")),
         cli.Opt("visualize", S, fs(c, "visualize")),
+        cli.Opt("show", I, fs(c, "show")),
         # resume/checkpoint: payload index to resume from (the bitstream is
         # random-access; encoder state is only the previous frame)
         cli.Opt("start-frame", U, fs(c, "start_frame")),
@@ -187,6 +192,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         from svc_tpu.visualize import VisualizingEncoder
 
         encoder = VisualizingEncoder(encoder, cfg.visualize)
+
+    if cfg.show:
+        from svc_tpu.visualize import LiveEncoderView
+
+        try:
+            encoder = LiveEncoderView(encoder)
+        except ImportError:
+            print("--show requires OpenCV (cv2)", file=sys.stderr)
+            return 1
 
     from svc_tpu.runtime import native
     from svc_tpu.runtime.tracing import Tracer, device_profile

@@ -9,10 +9,14 @@ output in the reference; this visualizer is headless-first and writes one
 composite image per frame (PNG when OpenCV is importable, ``.npy``
 otherwise).
 
-Overlay styling is intentionally simpler than the reference's arrow
-rendering: motion is shown with flow-coloring (hue = direction,
-saturation = magnitude), clusters/regions with the same 36-color visually
-distinct palette idea (libs/draw.cpp:34-54).
+Overlays mirror the reference's: per-block motion arrows
+(``DrawMotionField``, libs/draw.cpp:57-92) and the global-motion arrow
+grid (``DrawMotionVecAsField``, libs/draw.cpp:94-118) rendered with a
+pure-NumPy Bresenham rasterizer in the reference's arrow style (color
+(20,255,57), tip length 0.2 — libs/draw.cpp:6-14), cluster/region tints
+with the reference's exact 36-color palette table (libs/draw.cpp:35-54;
+the values below are that table verbatim), plus flow-coloring as an
+additional diagnostic view.
 """
 
 from __future__ import annotations
@@ -64,6 +68,87 @@ def flow_to_bgr(mv: np.ndarray, max_mag: Optional[float] = None) -> np.ndarray:
     return (rgb[..., ::-1] * 255).astype(np.uint8)  # BGR
 
 
+ARROW_COLOR = (20, 255, 57)  # DefaultInit(ArrowedLineParams), draw.cpp:9
+ARROW_TIP_LEN = 0.2
+
+
+def _draw_line(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
+               color) -> None:
+    """Clipped Bresenham line segment into a uint8 BGR image."""
+    h, w = img.shape[:2]
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx - dy
+    x, y = x0, y0
+    while True:
+        if 0 <= x < w and 0 <= y < h:
+            img[y, x] = color
+        if x == x1 and y == y1:
+            return
+        e2 = 2 * err
+        if e2 > -dy:
+            err -= dy
+            x += sx
+        if e2 < dx:
+            err += dx
+            y += sy
+
+
+def draw_arrow(img: np.ndarray, x0: int, y0: int, x1: int, y1: int,
+               color=ARROW_COLOR, tip_len: float = ARROW_TIP_LEN) -> None:
+    """``cv::arrowedLine`` geometry: main segment plus two tip strokes at
+    pi/4 off the reversed direction, tip length = ``tip_len * |segment|``
+    (the zero-length case degenerates to a dot, like OpenCV's)."""
+    _draw_line(img, x0, y0, x1, y1, color)
+    length = float(np.hypot(x1 - x0, y1 - y0))
+    if length < 1e-9:
+        return
+    angle = np.arctan2(float(y0 - y1), float(x0 - x1))
+    tip = tip_len * length
+    for da in (np.pi / 4, -np.pi / 4):
+        tx = int(round(x1 + tip * np.cos(angle + da)))
+        ty = int(round(y1 + tip * np.sin(angle + da)))
+        _draw_line(img, x1, y1, tx, ty, color)
+
+
+def _round_half_away(v: float) -> int:
+    """C ``std::round`` (``RoundFloatToInt``/``Vec2fToVec2i``,
+    libs/math.hpp:15-18, 236-241)."""
+    return int(np.floor(v + 0.5)) if v >= 0 else -int(np.floor(-v + 0.5))
+
+
+def draw_motion_field(img: np.ndarray, mv: np.ndarray, block_w: int,
+                      block_h: int, color=ARROW_COLOR) -> np.ndarray:
+    """Per-block MV arrows from each block's top-left corner
+    (``DrawMotionField``, libs/draw.cpp:57-92). Returns ``img``."""
+    mfh, mfw = mv.shape[:2]
+    for fy in range(mfh):
+        y = fy * block_h
+        for fx in range(mfw):
+            x = fx * block_w
+            draw_arrow(
+                img, x, y,
+                x + _round_half_away(float(mv[fy, fx, 0])),
+                y + _round_half_away(float(mv[fy, fx, 1])),
+                color,
+            )
+    return img
+
+
+def draw_motion_vec_as_field(img: np.ndarray, gm, block_w: int,
+                             block_h: int, color=ARROW_COLOR) -> np.ndarray:
+    """The global-motion vector repeated on the block grid
+    (``DrawMotionVecAsField``, libs/draw.cpp:94-118). Returns ``img``."""
+    h, w = img.shape[:2]
+    dx = _round_half_away(float(gm[0]))
+    dy = _round_half_away(float(gm[1]))
+    for y in range(0, h, block_h):
+        for x in range(0, w, block_w):
+            draw_arrow(img, x, y, x + dx, y + dy, color)
+    return img
+
+
 def tint_labels(base_bgr: np.ndarray, labels: np.ndarray,
                 first_id: int = 1) -> np.ndarray:
     """Tint labeled cells with the palette (labels at MV-grid resolution are
@@ -86,7 +171,7 @@ def upscale_mask(mask: np.ndarray, h: int, w: int) -> np.ndarray:
 _VIEW_TITLES = (
     "Base", "Motion Field (MF)", "Global Motion (GM)",
     "Foreground (FG) Mask", "FG Mask After Morph", "FG Clusters",
-    "FG Regions",
+    "FG Regions", "MF Flow",
 )
 
 
@@ -116,26 +201,26 @@ def _draw_titles(views: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def compose_views(frame_bgr, mv, gm, fg_raw, fg, labels, btypes) -> np.ndarray:
     """Build the 3x3 composite of the reference's seven views
-    (libs/encoder.cpp:398-416)."""
+    (libs/encoder.cpp:398-416): MF/GM carry the reference's arrow
+    overlays (libs/draw.cpp:57-118) on the base frame."""
     h, w = frame_bgr.shape[:2]
+    bh, bw = h // mv.shape[0], w // mv.shape[1]
     views = np.zeros((3 * h, 3 * w, 3), np.uint8)
 
-    mf_color = np.repeat(
-        np.repeat(flow_to_bgr(mv), h // mv.shape[0], 0), w // mv.shape[1], 1
-    )
-    gm_field = np.broadcast_to(np.asarray(gm, np.float32), mv.shape)
-    gm_color = np.repeat(
-        np.repeat(flow_to_bgr(gm_field), h // mv.shape[0], 0),
-        w // mv.shape[1], 1,
-    )
-
     views[0:h, 0:w] = frame_bgr                                   # Base
-    views[0:h, w:2 * w] = (0.5 * frame_bgr + 0.5 * mf_color)      # MF
-    views[0:h, 2 * w:] = (0.5 * frame_bgr + 0.5 * gm_color)       # GM
+    views[0:h, w:2 * w] = draw_motion_field(                      # MF
+        frame_bgr.copy(), mv, bw, bh
+    )
+    views[0:h, 2 * w:] = draw_motion_vec_as_field(                # GM
+        frame_bgr.copy(), np.asarray(gm, np.float32), bw, bh
+    )
     views[h:2 * h, 0:w] = upscale_mask(fg_raw, h, w)              # FG mask
     views[h:2 * h, w:2 * w] = upscale_mask(fg, h, w)              # post-morph
     views[h:2 * h, 2 * w:] = tint_labels(frame_bgr, labels, 0)    # clusters
     views[2 * h:, 0:w] = tint_labels(frame_bgr, btypes.astype(np.int64), 1)
+    # extra diagnostic: flow-colored motion (hue=direction, sat=magnitude)
+    mf_color = np.repeat(np.repeat(flow_to_bgr(mv), bh, 0), bw, 1)
+    views[2 * h:, w:2 * w] = (0.5 * frame_bgr + 0.5 * mf_color)
     return _draw_titles(views, h, w)
 
 
@@ -179,3 +264,49 @@ class VisualizingEncoder:
                 on_batch(first_index, out, n_valid)
 
         yield from self.encoder.encode_video(frames, on_batch=dump, **kwargs)
+
+
+class LiveEncoderView:
+    """Wraps an ``Encoder`` and shows the 7-view composite in a window
+    while encoding — the reference's encoder-visualizer live display
+    (libs/encoder.cpp:654-659: ``imshow`` + quit-on-keypress; here a
+    keypress stops the display but encoding continues). Requires OpenCV.
+    """
+
+    def __init__(self, encoder, window: str = "svc encoder"):
+        import cv2  # raises ImportError without OpenCV, caller gates
+
+        self._cv2 = cv2
+        self.encoder = encoder
+        self.window = window
+        self._open = True
+        cv2.namedWindow(window, cv2.WINDOW_NORMAL)
+
+    def encode_video(self, frames, on_batch=None, **kwargs):
+        cv2 = self._cv2
+
+        def show(first_index, out, n_valid):
+            if self._open:
+                frames_np = np.moveaxis(
+                    np.asarray(out["padded_planes"]), 0, -1
+                )
+                mv = np.asarray(out["mv_field"])
+                gm = np.asarray(out["global_motion"])
+                fg_raw = np.asarray(out["foreground_mask_raw"])
+                fg = np.asarray(out["foreground_mask"])
+                labels = np.asarray(out["cluster_labels"])
+                btypes = np.asarray(out["block_types"])
+                for i in range(n_valid):
+                    composite = compose_views(
+                        frames_np[i], mv[i], gm[i], fg_raw[i], fg[i],
+                        labels[i], btypes[i],
+                    )
+                    cv2.imshow(self.window, composite)
+                    if cv2.waitKey(1) >= 0:
+                        self._open = False
+                        cv2.destroyWindow(self.window)
+                        break
+            if on_batch is not None:
+                on_batch(first_index, out, n_valid)
+
+        yield from self.encoder.encode_video(frames, on_batch=show, **kwargs)

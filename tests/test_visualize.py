@@ -63,3 +63,61 @@ def test_visualizing_encoder_dumps_per_frame(tmp_path):
     dumped = sorted(os.listdir(out_dir))
     assert len(dumped) == 3
     assert dumped[0].startswith("frame_00000")
+
+
+class TestArrows:
+    """MV/GM arrow overlays (libs/draw.cpp:57-118 parity)."""
+
+    def test_axis_aligned_arrow_pixels(self):
+        from svc_tpu.visualize import draw_arrow
+
+        img = np.zeros((20, 40, 3), np.uint8)
+        draw_arrow(img, 2, 10, 22, 10, color=(1, 2, 3))
+        # main segment
+        assert (img[10, 2:23] == (1, 2, 3)).all()
+        # two tip strokes leave the head both above and below the shaft
+        assert img[:10, :].any() and img[11:, :].any()
+
+    def test_zero_vector_is_a_dot(self):
+        from svc_tpu.visualize import draw_arrow
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        draw_arrow(img, 3, 4, 3, 4)
+        hit = np.argwhere(img.any(-1))
+        assert hit.shape[0] == 1 and tuple(hit[0]) == (4, 3)
+
+    def test_motion_field_anchors_every_block(self):
+        from svc_tpu.visualize import draw_motion_field
+
+        mv = np.zeros((3, 4, 2), np.float32)
+        img = np.zeros((24, 32, 3), np.uint8)
+        draw_motion_field(img, mv, 8, 8)
+        for fy in range(3):
+            for fx in range(4):
+                assert img[fy * 8, fx * 8].any()
+
+    def test_global_motion_rounding_matches_c_round(self):
+        from svc_tpu.visualize import draw_motion_vec_as_field
+
+        # std::round(-0.5) == -1 (away from zero), unlike np.round
+        img = np.zeros((8, 8, 3), np.uint8)
+        draw_motion_vec_as_field(
+            img, np.asarray([-0.5, 0.0], np.float32), 8, 8
+        )
+        assert img[0, 0].any()  # tip math ran; endpoint at x=-1 clipped
+
+    def test_composite_has_arrow_color_in_mf_view(self):
+        from svc_tpu.visualize import ARROW_COLOR, compose_views
+
+        h = w = 32
+        frame = np.zeros((h, w, 3), np.uint8)
+        mv = np.full((4, 4, 2), 3.0, np.float32)
+        gm = np.asarray([3.0, 1.0])
+        fg = np.zeros((4, 4), bool)
+        labels = np.full((4, 4), -1)
+        btypes = np.zeros((4, 4), np.uint32)
+        comp = compose_views(frame, mv, gm, fg, fg, labels, btypes)
+        mf_view = comp[0:h, w:2 * w]
+        gm_view = comp[0:h, 2 * w:3 * w]
+        assert (mf_view == ARROW_COLOR).all(-1).any()
+        assert (gm_view == ARROW_COLOR).all(-1).any()
