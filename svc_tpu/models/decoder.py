@@ -32,7 +32,7 @@ import numpy as np
 
 from svc_tpu.config import DecoderConfig
 from svc_tpu.io import bitstream
-from svc_tpu.ops.dct import idct2_from_wire_blocks
+from svc_tpu.ops.dct import idct2_wire_to_planes
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
 from svc_tpu.utils.mathx import round_half_away_from_zero
@@ -120,16 +120,32 @@ class Decoder:
                 )
                 # per-block steps broadcast directly in block layout
                 deq = quantize(c, steps[:, :, None])
-                frame = idct2_from_wire_blocks(
+                planes = idct2_wire_to_planes(
                     deq, channels, tbh, tbw
-                )  # (PH, PW, C), BGR
+                )  # (C, PH, PW), BGR plane order
                 # display path: /255, bilinear resize to original size,
                 # imshow (libs/decoder.cpp:208-211); the /255 and the
                 # implicit *255 of display cancel — resize in 0..255 space
-                out = resize_bilinear(frame, h.frame_h, h.frame_w)
+                out = resize_bilinear(planes, h.frame_h, h.frame_w)
                 return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
-            return jax.vmap(per_frame)(coeffs, block_types, gaze_rects)
+            planes = jax.vmap(per_frame)(
+                coeffs, block_types, gaze_rects
+            )  # (T, C, H, W) uint8
+            # interleave to packed (T, H, W*C): channel planes stay dense
+            # on device (a trailing C=3 axis tile-pads to 128 lanes); the
+            # host views the packed rows as (H, W, C) for free
+            wch = h.frame_w * channels
+            lane_mod = (
+                jnp.arange(wch, dtype=jnp.int32) % channels
+            )[None, None, :]
+            rep = jnp.repeat(planes, channels, axis=-1)  # (T, C, H, W*C)
+            packed = jnp.zeros(
+                (planes.shape[0], h.frame_h, wch), jnp.uint8
+            )
+            for ci in range(channels):
+                packed = jnp.where(lane_mod == ci, rep[:, ci], packed)
+            return packed
 
         return decode_batch
 
@@ -186,7 +202,13 @@ class Decoder:
                 jnp.asarray(np.stack(buf_t)),
                 jnp.asarray(np.asarray(buf_g, np.int32)),
             )
-            res = np.asarray(out)[:n_valid]
+            packed = np.asarray(out)[:n_valid]  # (n, H, W*C)
+            res = packed.reshape(
+                packed.shape[0],
+                self.header.frame_h,
+                self.header.frame_w,
+                -1,
+            )
             buf_c.clear()
             buf_t.clear()
             buf_g.clear()

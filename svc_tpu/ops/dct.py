@@ -135,24 +135,29 @@ def dct2_packed_to_wire(
     return out.reshape(t, h // block_h, w // block_w, channels * block_h * block_w)
 
 
-def idct2_from_wire_blocks(
+def idct2_wire_to_planes(
     blocks: jnp.ndarray, channels: int, block_h: int, block_w: int
 ) -> jnp.ndarray:
-    """Inverse of ``dct2_planes_to_wire`` for one frame:
-    ``(nby, nbx, C*bh*bw)`` coefficients -> ``(H, W, C)`` float pixels."""
+    """Inverse blockwise DCT of one frame's wire coefficients into
+    ``(C, H, W)`` float32 channel planes.
+
+    The plane output keeps the TPU lane axis wide (W) — the channel-last
+    variant below tile-pads its trailing C=3 axis to 128 lanes, which made
+    the decoder spend most of its time in relayout copies.
+    """
     nby, nbx, _ = blocks.shape
     dh = jnp.asarray(dct_matrix(block_h))
     dw = jnp.asarray(dct_matrix(block_w))
     split = blocks.reshape(nby, nbx, channels, block_h, block_w)
     out = jnp.einsum(
-        "ik,yxcij,jl->ykxlc",
+        "ik,yxcij,jl->cykxl",
         dh,
         split,
         dw,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out.reshape(nby * block_h, nbx * block_w, channels)
+    return out.reshape(channels, nby * block_h, nbx * block_w)
 
 
 def idct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarray:
