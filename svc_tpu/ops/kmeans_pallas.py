@@ -248,10 +248,15 @@ def lloyd_pallas(
 
 
 def lloyd_pallas_supported(n: int, k: int, d: int) -> bool:
-    """TPU-only (CPU tests use the XLA path), modest sizes, k <= 16."""
+    """TPU-only (CPU tests use the XLA path), modest sizes, k <= 16.
+
+    The point-axis cap keeps the kernel inside the ~16 MB scoped-VMEM
+    budget (the (16, N) one-hot/distance values plus two scratches run
+    ~600 B/point); larger fields (4K: 32400 blocks) take the XLA path.
+    """
     return (
         jax.default_backend() not in ("cpu",)
         and k <= _KPAD
         and d <= 7
-        and 128 <= n <= 65536
+        and 128 <= n <= 16384
     )
