@@ -188,3 +188,93 @@ class TestGoldenEndToEnd:
             f"max ulp {int(ulp.max())} exceeds gate {MAX_ULP_NONTINY} "
             f"(exact-bit fraction {exact:.4f})"
         )
+
+
+def _build_decoder_harness():
+    path = os.path.join(_DIR, "decoder_harness")
+    if os.path.exists(path):
+        return path
+    if not os.path.isdir(_REF):
+        return None
+    try:
+        cflags = subprocess.run(
+            ["pkg-config", "--cflags", "opencv4"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-DCV_INTER_LINEAR=1",
+             f"-I{_REF}/libs",
+             os.path.join(_DIR, "decoder_harness.cpp"),
+             os.path.join(_DIR, "thread_shim.cpp")]
+            + cflags
+            + ["-lopencv_core", "-lopencv_imgproc", "-lopencv_highgui",
+               "-o", path],
+            check=True, capture_output=True,
+        )
+        return path
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+class TestGoldenDecoder:
+    """Block decode parity vs the unmodified reference ParseBlock +
+    DecodeBlock (libs/decoder.cpp:102-149): dequantization with
+    gaze/region step selection, per-channel cv::idct, channel merge."""
+
+    @pytest.mark.parametrize(
+        "fg,bg,rect",
+        [
+            (1, 640, (0, 0, 0, 0)),       # defaults, no gaze
+            (2, 16, (64, 48, 96, 64)),    # gazed region unquantized
+        ],
+    )
+    def test_decoded_padded_frames_match(self, streams, fg, bg, rect):
+        harness = _build_decoder_harness()
+        if harness is None:
+            pytest.skip("reference decoder harness unavailable")
+        ref_stream = streams[0]
+        hdr = np.frombuffer(ref_stream[:32], np.uint32)
+        fc, fw, fh = int(hdr[0]), int(hdr[1]), int(hdr[2])
+
+        golden = subprocess.run(
+            [harness, str(fg), str(bg)] + [str(v) for v in rect],
+            input=ref_stream, capture_output=True, check=True,
+        ).stdout
+        golden = np.frombuffer(golden, np.float32).reshape(
+            fc, fh, fw, 3
+        )
+
+        import jax.numpy as jnp
+
+        from svc_tpu.io import bitstream
+        from svc_tpu.ops.dct import idct2_wire_to_planes
+        from svc_tpu.ops.quant import block_quant_steps, quantize
+
+        header = bitstream.Header.unpack(ref_stream[:32])
+        body = ref_stream[32:]
+        fsize = header.block_byte_count * (fw // 8) * (fh // 8)
+        bys = np.arange(fh // 8, dtype=np.int32)[:, None] * 8
+        bxs = np.arange(fw // 8, dtype=np.int32)[None, :] * 8
+        gazed = (
+            (bxs >= rect[0]) & (bxs < rect[0] + rect[2])
+            & (bys >= rect[1]) & (bys < rect[1] + rect[3])
+        )
+        worst = 0.0
+        for f in range(fc):
+            types, coeffs = bitstream.deserialize_frame_blocks(
+                body[f * fsize : (f + 1) * fsize], header
+            )
+            steps = block_quant_steps(
+                jnp.asarray(types), jnp.asarray(gazed), fg, bg
+            )
+            deq = quantize(
+                jnp.asarray(coeffs.reshape(fh // 8, fw // 8, -1)),
+                steps[:, :, None],
+            )
+            planes = np.asarray(idct2_wire_to_planes(deq, 3, 8, 8))
+            ours = np.moveaxis(planes, 0, -1)
+            worst = max(worst, float(np.abs(ours - golden[f]).max()))
+        # IDCT of (de)quantized 0..2040-scale coefficients: float32
+        # summation-order divergence stays absolute, same scale as the
+        # forward gate (BASELINE.md)
+        assert worst <= 2.5e-4, f"max |diff| {worst:.3e}"
