@@ -1,0 +1,104 @@
+"""Profile the 1080p encode batch: per-HLO-op time attribution.
+
+Runs the jitted encoder batch under ``jax.profiler.trace`` and prints the
+top ops by self-time from the trace's op-profile, so perf work targets the
+measured bottlenecks rather than wall-clock guesses (the shared dev chip
+varies 1.5x run to run; HLO self-times are stable).
+
+Usage: python benchmarks/profile_encode.py [trace_dir]
+"""
+
+import glob
+import gzip
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+
+    from svc_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from svc_tpu.config import EncoderConfig, VideoProperties
+    from svc_tpu.models.encoder import Encoder
+
+    sys.path.insert(0, "/root/repo")
+    from bench import make_frames
+
+    t, h, w = 16, 1080, 1920
+    cfg = EncoderConfig()
+    props = VideoProperties(frame_w=w, frame_h=h, frame_count=t + 1)
+    enc = Encoder(cfg, props, batch_size=t)
+
+    frames = make_frames(t + 1, h, w)
+    keys = enc._keys(0, t)
+    packed = jnp_packed = np.ascontiguousarray(frames).reshape(t + 1, h, w * 3)
+    x = jax.device_put(jnp_packed)
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0:1]))
+        return out
+
+    # warm up / compile
+    sync(enc._encode_batch(x, keys))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = enc._encode_batch(x, keys)
+    sync(out)
+    dt = (time.perf_counter() - t0) / 5
+    print(f"steady batch: {dt*1e3:.1f} ms  ({t/dt:.0f} fps)", file=sys.stderr)
+
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/svc_trace"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            out = enc._encode_batch(x, keys)
+        sync(out)
+
+    report(trace_dir)
+
+
+def report(trace_dir):
+    """Summarize device op self-times from the .trace.json.gz event dump."""
+    paths = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True))
+    if not paths:
+        print("no trace files found under", trace_dir, file=sys.stderr)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device-lane complete events: pid names containing "TPU" / XLA Ops
+    pid_names = {}
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    op_time = {}
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        lane = tid_names.get((e.get("pid"), e.get("tid")), "")
+        if "XLA Ops" not in lane:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        op_time[name] = op_time.get(name, 0.0) + dur
+        total += dur
+    top = sorted(op_time.items(), key=lambda kv: -kv[1])[:40]
+    print(f"total device op time: {total:.1f} ms over trace")
+    for name, ms in top:
+        print(f"{ms:8.2f} ms  {100*ms/total:5.1f}%  {name}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,11 @@ from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
 from svc_tpu.ops.ccl import block_types_from_clusters
 from svc_tpu.ops.color import bgr_planes_to_y
-from svc_tpu.ops.dct import dct2_packed_to_wire
+from svc_tpu.ops.dct import dct2_planes_to_wire
+from svc_tpu.ops.dct_pallas import (
+    dct2_planes_to_wire_pallas,
+    pallas_wire_dct_supported,
+)
 from svc_tpu.ops.kmeans import kmeans_t
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma
@@ -96,7 +100,51 @@ class Encoder:
         self.encode_pairs = self._build_encode_pairs()
         # the traceable batch step (public, for jit/sharding composition)
         self.encode_batch_fn = self._build_encode_batch()
-        self._encode_batch = jax.jit(self.encode_batch_fn)
+        self._encode_batch = jax.jit(
+            self.encode_batch_fn, **self._layout_pins()
+        )
+
+    def _layout_pins(self):
+        """Pin the jitted step's boundary layouts to row-major.
+
+        Left to itself, XLA picks minor-to-major orders for the program
+        parameters and results that "help" the surrounding transfers — and
+        then inserts full-tensor relayout copies inside the program to get
+        back to what the pipeline actually uses (measured: 1.5 ms/batch on
+        the coefficient output + 0.6 ms on the packed input at 1080p).
+        Row-major is what the host ships and what the serializer memcpys,
+        so both pins delete pure waste. Best-effort: on backends or jax
+        versions without concrete-layout support, fall back to defaults.
+        """
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            dev = jax.devices()[0]
+            sds = SingleDeviceSharding(dev)
+
+            def fmt(ndim):
+                return Format(
+                    Layout(major_to_minor=tuple(range(ndim))), sds
+                )
+
+            out_shardings = {
+                "coeffs": fmt(4),
+                "block_types": None,
+                "mv_field": None,
+                "foreground_mask_raw": None,
+                "foreground_mask": None,
+                "cluster_labels": None,
+                "global_motion": None,
+                "ransac_rmse": None,
+                "padded_planes": None,
+            }
+            return {
+                "in_shardings": (fmt(3), None),
+                "out_shardings": out_shardings,
+            }
+        except Exception:
+            return {}
 
     # ------------------------------------------------------------------
     # jitted pipeline
@@ -176,7 +224,6 @@ class Encoder:
             anchor_planes: jnp.ndarray,
             anchor_pyr: Tuple[jnp.ndarray, ...],
             keys: jnp.ndarray,
-            anchor_packed: jnp.ndarray,
         ):
             """Encode ``T`` explicit (tracked, anchor) pairs.
 
@@ -184,10 +231,9 @@ class Encoder:
               tracked_pyr / anchor_pyr: per-level ``(T, h_l, w_l)`` luma
                 pyramids.
               anchor_planes: ``(3, T, PH, PW)`` uint8 padded anchor channel
-                planes, order B, G, R (= ``cv::split`` order).
+                planes, order B, G, R (= ``cv::split`` order) — also the
+                DCT input (see dct2_planes_to_wire).
               keys: ``(T,)`` PRNG keys.
-              anchor_packed: ``(T, PH, PW*3)`` uint8 padded interleaved
-                anchor frames — the DCT input (see dct2_packed_to_wire).
             """
             mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
                 tracked_pyr, anchor_pyr, keys
@@ -205,15 +251,25 @@ class Encoder:
 
             # blockwise DCT on float BGR channels of the anchor frames
             # (libs/encoder.cpp:638-640; channel order = cv::split order),
-            # computed straight from the packed interleaved bytes and
             # emitted in merged wire layout (T, nby, nbx, C*bh*bw) so host
-            # serialization is a memcpy (layout rationale in ops/dct.py)
-            coeffs = dct2_packed_to_wire(
-                anchor_packed,
-                3,
-                cfg.transform_block_w,
-                cfg.transform_block_h,
-            )
+            # serialization is a memcpy. The Pallas kernel pins the
+            # layouts end to end (ops/dct_pallas.py); the einsum path is
+            # the identical-algorithm fallback (ops/dct.py)
+            if pallas_wire_dct_supported(
+                3, self.padded_h, self.padded_w,
+                cfg.transform_block_w, cfg.transform_block_h,
+            ):
+                coeffs = dct2_planes_to_wire_pallas(
+                    anchor_planes,
+                    cfg.transform_block_w,
+                    cfg.transform_block_h,
+                )
+            else:
+                coeffs = dct2_planes_to_wire(
+                    anchor_planes,
+                    cfg.transform_block_w,
+                    cfg.transform_block_h,
+                )
 
             return {
                 "coeffs": coeffs,
@@ -262,26 +318,11 @@ class Encoder:
             planes, pyr = self.preprocess(packed_bgr)
             tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
             anchor_pyr = tuple(lvl[1:] for lvl in pyr)
-            packed_padded = self.pad_packed(packed_bgr)
             return self.encode_pairs(
-                tracked_pyr, planes[:, 1:], anchor_pyr, keys,
-                packed_padded[1:],
+                tracked_pyr, planes[:, 1:], anchor_pyr, keys
             )
 
         return encode_batch
-
-    def pad_packed(self, packed_bgr: jnp.ndarray) -> jnp.ndarray:
-        """Zero-pad packed ``(N, H, W*3)`` frames to the codec grid; the
-        interleaved layout pads with 3 zero bytes per excess column."""
-        n, h, w3 = packed_bgr.shape
-        return jnp.pad(
-            packed_bgr,
-            (
-                (0, 0),
-                (0, self.padded_h - h),
-                (0, self.padded_w * 3 - w3),
-            ),
-        )
 
     # ------------------------------------------------------------------
     # host API

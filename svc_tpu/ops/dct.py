@@ -80,22 +80,49 @@ def dct2_planes_to_wire(
     blowup on the 400 MB/batch coefficient write at 1080p. Merged, the
     trailing axis is 192 (pad to 256, 1.33x). Channel-plane input likewise
     avoids the 43x tiling blowup of trailing C=3 interleaved frames.
+
+    Layout strategy (the third iteration — each measured in-context on the
+    22 ms 1080p encode step):
+
+    * a 3-factor einsum over ``(..., bh, nbx, bw)`` blocks lowered to a
+      reshape + two tile-layout copies + an output transpose (6.6 ms);
+    * pre-transposing uint8 into wire block order for square wire-axis
+      matmuls made XLA emit two even slower uint8 tile copies (7.9 ms);
+    * this version: one cheap block-pitch lane transpose per plane
+      (``(T*H, nbx, bw) -> (T*H, bw, nbx)`` — the same swapaxes XLA
+      compiles to a fast tiled copy in ops/motion_pallas.py), giving
+      ``(C, T, nby, bh, bw, nbx)`` with the block-column axis on lanes.
+      Both DCT stages are then contractions over the small leading block
+      axes — the MXU performs the lane->wire transpose implicitly in the
+      final contraction, and its output IS the wire layout (~2 ms).
+
+    The two chained 8-term contractions keep the float32 summation
+    structure of the row/column DCT factorization that the golden-parity
+    coefficient gate is baselined against (BASELINE.md: measured 1.2e-4
+    vs ``cv::dct``; a fused single 64-term contraction doubles that).
     """
     c, t, h, w = planes.shape
+    nby, nbx = h // block_h, w // block_w
     dh = jnp.asarray(dct_matrix(block_h))
     dw = jnp.asarray(dct_matrix(block_w))
-    blocks = planes.reshape(
-        c, t, h // block_h, block_h, w // block_w, block_w
-    ).astype(jnp.float32)
-    out = jnp.einsum(
-        "ki,ctyixj,lj->tyxckl",
-        dh,
-        blocks,
-        dw,
+    # block-pitch the columns: (C,T,H,W) -> (C,T,nby,bh,bw,nbx)
+    p = planes.reshape(c, t, h, nbx, block_w)
+    p = jnp.swapaxes(p, -1, -2)
+    p = p.reshape(c, t, nby, block_h, block_w, nbx).astype(jnp.float32)
+    # rows: contract i -> k (both leading small axes; no relayout)
+    a = jnp.einsum(
+        "ki,ctyijx->ctykjx", dh, p,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out.reshape(t, h // block_h, w // block_w, c * block_h * block_w)
+    # columns: contract j -> l; the MXU dot emits (..., nbx, bh, bw) with
+    # nbx back on sublanes — the wire layout — without a transpose op
+    out = jnp.einsum(
+        "lj,ctykjx->tyxckl", dw, a,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(t, nby, nbx, c * block_h * block_w)
 
 
 def dct2_packed_to_wire(
@@ -104,35 +131,14 @@ def dct2_packed_to_wire(
     """Forward blockwise DCT of packed interleaved ``(T, H, W*C)`` uint8
     frames into the wire layout ``(T, nby, nbx, C*bh*bw)``.
 
-    Equivalent to de-interleaving channel planes and calling
-    :func:`dct2_planes_to_wire`, but the channel separation is folded into
-    the column-transform contraction weights
-    (``W[l, c, q] = dct[l, q // C] * (q % C == c)``), so the interleaved
-    frame bytes feed the MXU directly — the measured ~5 ms/batch of layout
-    copies XLA emitted to build separated channel-plane blocks disappears.
+    Convenience wrapper: de-interleaves with ``channels`` strided lane
+    slices (the one interleaved-byte access pattern XLA compiles cheaply)
+    and runs :func:`dct2_planes_to_wire`. The encoder calls the planes
+    variant directly — its preprocess stage already built the planes.
     """
     t, h, wc = packed.shape
-    w = wc // channels
-    dh = jnp.asarray(dct_matrix(block_h))
-    dw_np = dct_matrix(block_w)
-    q = block_w * channels
-    sel = np.zeros((block_w, channels, q), np.float32)
-    for j in range(block_w):
-        for c in range(channels):
-            sel[j, c, j * channels + c] = 1.0
-    wmat = jnp.asarray(np.einsum("lj,jcq->lcq", dw_np, sel))
-    blocks = packed.reshape(
-        t, h // block_h, block_h, w // block_w, q
-    ).astype(jnp.float32)
-    out = jnp.einsum(
-        "ki,tyixq,lcq->tyxckl",
-        dh,
-        blocks,
-        wmat,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.reshape(t, h // block_h, w // block_w, channels * block_h * block_w)
+    planes = jnp.stack([packed[:, :, c::channels] for c in range(channels)])
+    return dct2_planes_to_wire(planes, block_w, block_h)
 
 
 def idct2_wire_to_planes(

@@ -1,0 +1,205 @@
+"""Pallas TPU kernel: blockwise 2-D DCT straight into wire layout.
+
+The encoder's DCT stage (reference: libs/encoder.cpp:323-339 driving
+``cv::dct`` per 8x8 ROI) produces ~400 MB of float32 coefficients per
+16-frame 1080p batch, so the stage is bandwidth-bound and lives or dies by
+layout. The XLA einsum formulations (ops/dct.py) are algorithmically
+identical but at the mercy of layout assignment: in the full encoder
+program XLA materializes tile-layout copies around the contractions
+(measured 6.6-9 ms/batch of a 22 ms step across three einsum variants).
+This kernel pins the layouts: it consumes block-pitched uint8 planes and
+writes wire-layout float32, with the lane->sublane "transpose" performed
+implicitly by the MXU in the first contraction.
+
+Per (frame, block-row) grid step and channel, the input tile is
+``x[(i*bw + j), bx]`` — all ``bh*bw`` pixels of a block on sublanes, the
+``nbx`` block columns on lanes. Two matmuls then compute the 2-D DCT in
+wire order:
+
+    A = x^T @ W1        A[bx, k*bw + j] = sum_i dh[k,i] x[(i,j), bx]
+    Z = A   @ W2        Z[bx, k*bw + l] = sum_j dw[l,j] A[bx, (k,j)]
+
+where ``W1[(i*bw+j), (k*bw+j')] = dh[k,i] * (j==j')`` and
+``W2[(k*bw+j), (k'*bw+l)] = dw[l,j] * (k==k')`` are tiny constant
+block-diagonal matrices. The first dot contracts over the SUBLANE axis of
+``x`` (lhs-transposed dot), so the MXU emits ``bx`` on sublanes — the wire
+layout — with no transpose op anywhere. Channels concatenate on lanes into
+the merged per-block payload axis (c*bh*bw), which the host serializer
+memcpys (svc_tpu.io.bitstream).
+
+The two chained 8-term contractions keep the float32 summation structure
+of the row/column DCT factorization that the golden-parity coefficient
+gate is baselined against (BASELINE.md; a fused 64-term contraction
+doubles the measured error vs ``cv::dct``).
+
+Toolchain notes (probed): uint8 cannot cast directly to float32 in this
+Mosaic build — it hops through int32; lhs-transposed ``dot_general`` and
+lane-axis concatenation are supported.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svc_tpu.ops.dct import dct_matrix
+
+
+@functools.lru_cache(maxsize=None)
+def _wire_stage_weights(block_w: int, block_h: int):
+    """The two (bh*bw, bh*bw) block-diagonal stage matrices (see module
+    docstring). Built once on host; exact zero fill keeps the nonzero
+    8-term dot structure of the separable row/column factorization."""
+    dh = dct_matrix(block_h)
+    dw = dct_matrix(block_w)
+    n = block_h * block_w
+    w1 = np.zeros((n, n), np.float32)
+    w2 = np.zeros((n, n), np.float32)
+    for k in range(block_h):
+        for i in range(block_h):
+            for j in range(block_w):
+                w1[i * block_w + j, k * block_w + j] = dh[k, i]
+    for k in range(block_h):
+        for j in range(block_w):
+            for l in range(block_w):
+                w2[k * block_w + j, k * block_w + l] = dw[l, j]
+    return w1, w2
+
+
+@functools.lru_cache(maxsize=None)
+def _stage1_bf16_terms(block_w: int, block_h: int):
+    """Stage-1 weights split as w1 = t0 + t1 + t2 in bfloat16 terms.
+
+    The stage-1 lhs is uint8 data, which is EXACT in bfloat16 (<= 8
+    mantissa bits), so the float32 dot can run as three 1-pass bf16
+    matmuls against an exact 3-term split of the weights: every product
+    is exact in the MXU's float32 accumulator and the only rounding is
+    the f32 accumulation — the same error class as a float32 dot, at
+    half the MXU passes of ``Precision.HIGHEST`` (measured: stage 1 drops
+    from ~1.4 ms to ~0.7 ms/batch at 1080p with max |err| unchanged at
+    8.7e-5 vs float64). Stage 2's lhs is float32 (not bf16-exact), so it
+    stays a HIGHEST-precision dot.
+    """
+    w1, _ = _wire_stage_weights(block_w, block_h)
+    w = w1.astype(np.float64)
+    terms = []
+    for _ in range(3):
+        t = w.astype(np.float32).astype(jnp.bfloat16)
+        terms.append(np.asarray(t))
+        w = w - np.asarray(t, np.float64)
+    return tuple(terms)
+
+
+def _make_kernel(channels: int, rows_per_step: int, n: int, nbx: int):
+    def kernel(*refs):
+        m1_refs = refs[0:3]
+        m2_ref = refs[3]
+        plane_refs = refs[4 : 4 + channels]
+        o_ref = refs[4 + channels]
+        m1_terms = [r[...] for r in m1_refs]
+        m2 = m2_ref[...]
+        for t in range(rows_per_step):
+            # merge channels on lanes: one (n, C*nbx) lhs per block row
+            # keeps the MXU fed (M = C*nbx) instead of C small dots
+            x = jnp.concatenate(
+                [ref[0, 0, t].reshape(n, nbx) for ref in plane_refs],
+                axis=1,
+            )
+            # stage 1: uint8 is exact in bf16 -> three 1-pass bf16 dots
+            # against the exact 3-term weight split (_stage1_bf16_terms)
+            xb = x.astype(jnp.int32).astype(jnp.bfloat16)
+            a = None
+            for m in m1_terms:
+                p = jax.lax.dot_general(
+                    xb, m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                a = p if a is None else a + p  # (C*nbx, n)
+            z = jax.lax.dot_general(
+                a, m2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (C*nbx, n)
+            zc = z.reshape(channels, nbx, n)
+            o_ref[0, t] = jnp.concatenate(
+                [zc[c] for c in range(channels)], axis=1
+            )
+
+    return kernel
+
+
+def _rows_per_step(nby: int, target: int = 8) -> int:
+    """Largest divisor of ``nby`` up to ``target`` (grid rows per step)."""
+    for d in range(min(nby, target), 0, -1):
+        if nby % d == 0:
+            return d
+    return 1
+
+
+def dct2_planes_to_wire_pallas(
+    planes: jnp.ndarray, block_w: int, block_h: int
+) -> jnp.ndarray:
+    """Forward blockwise DCT of uint8 ``(C, T, H, W)`` channel planes into
+    wire layout ``(T, nby, nbx, C*bh*bw)`` float32 (TPU production path;
+    same contract as ops.dct.dct2_planes_to_wire)."""
+    c, t, h, w = planes.shape
+    nby, nbx = h // block_h, w // block_w
+    n = block_h * block_w
+    r = _rows_per_step(nby)
+
+    # block-pitch the columns: one fast lane transpose per plane
+    # (T*H, nbx, bw) -> (T*H, bw, nbx), then free leading reshapes
+    p = planes.reshape(c, t, h, nbx, block_w)
+    p = jnp.swapaxes(p, -1, -2)
+    p5 = p.reshape(c, t, nby, block_h, block_w, nbx)
+
+    _, w2 = _wire_stage_weights(block_w, block_h)
+    m1_terms = _stage1_bf16_terms(block_w, block_h)
+    mspec = pl.BlockSpec(
+        (n, n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    pspecs = [
+        pl.BlockSpec(
+            (1, 1, r, block_h, block_w, nbx),
+            functools.partial(
+                lambda ci, ti, yi: (ci, ti, yi, 0, 0, 0), ci
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for ci in range(c)
+    ]
+    return pl.pallas_call(
+        _make_kernel(c, r, n, nbx),
+        grid=(t, nby // r),
+        in_specs=[mspec] * 4 + pspecs,
+        out_specs=pl.BlockSpec(
+            (1, r, nbx, c * n), lambda ti, yi: (ti, yi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, nby, nbx, c * n), jnp.float32),
+        interpret=(jax.default_backend() == "cpu"),
+    )(*[jnp.asarray(m) for m in m1_terms], jnp.asarray(w2), *([p5] * c))
+
+
+def pallas_wire_dct_supported(
+    channels: int, h: int, w: int, block_w: int, block_h: int
+) -> bool:
+    """Shape gate: divisible grid, sublane-reshapeable tiles, and a VMEM
+    budget ( <= ~4 MB across in/out blocks at the chosen rows-per-step)."""
+    if h % block_h or w % block_w:
+        return False
+    nby, nbx = h // block_h, w // block_w
+    if nbx < 8 or nby < 1:
+        return False
+    n = block_h * block_w
+    if n % block_h:
+        return False
+    r = _rows_per_step(nby)
+    in_bytes = channels * r * n * nbx
+    out_bytes = r * nbx * channels * n * 4
+    return in_bytes + out_bytes <= 4 * 1024 * 1024

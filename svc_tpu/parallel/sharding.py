@@ -66,12 +66,8 @@ class ShardedEncoder:
 
         pairs_fn = self.inner.encode_pairs
 
-        def local_encode(
-            tracked_pyr, anchor_planes, anchor_pyr, keys, anchor_packed
-        ):
-            out = pairs_fn(
-                tracked_pyr, anchor_planes, anchor_pyr, keys, anchor_packed
-            )
+        def local_encode(tracked_pyr, anchor_planes, anchor_pyr, keys):
+            out = pairs_fn(tracked_pyr, anchor_planes, anchor_pyr, keys)
             # cross-device stream statistics over ICI
             fg_count = jnp.sum(out["foreground_mask"])
             out["total_foreground_blocks"] = jax.lax.psum(
@@ -90,7 +86,6 @@ class ShardedEncoder:
             plane_shard,  # anchor channel planes
             tuple([shard] * n_levels),  # anchor pyramid levels
             shard,  # keys
-            shard,  # packed anchor frames (DCT input)
         )
         out_specs = {
             "coeffs": shard,
@@ -160,11 +155,6 @@ class ShardedEncoder:
         tracked_pyr = tuple(put(x, sharding) for x in tracked_pyr)
         anchor_pyr = tuple(put(x, sharding) for x in anchor_pyr)
         anchors = put(planes[:, 1:], plane_sharding)
-        anchor_packed = put(
-            self.inner.pad_packed(packed)[1:], sharding
-        )
         keys = put(keys, sharding)
 
-        return self._sharded(
-            tracked_pyr, anchors, anchor_pyr, keys, anchor_packed
-        )
+        return self._sharded(tracked_pyr, anchors, anchor_pyr, keys)
