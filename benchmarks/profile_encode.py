@@ -62,10 +62,33 @@ def main():
             out = enc._encode_batch(x, keys)
         sync(out)
 
-    report(trace_dir)
+    # op-name -> source metadata from the same compiled executable
+    meta = {}
+    try:
+        txt = (
+            jax.jit(enc.encode_batch_fn, **enc._layout_pins())
+            .lower(jax.ShapeDtypeStruct(packed.shape, np.uint8), keys)
+            .compile()
+            .as_text()
+        )
+        import re
+
+        for m in re.finditer(
+            r"%([\w.\-]+) = .*?op_name=\"([^\"]*)\""
+            r"(?: source_file=\"([^\"]*)\" source_line=(\d+))?",
+            txt,
+        ):
+            src = ""
+            if m.group(3):
+                src = f"{m.group(3).split('/')[-1]}:{m.group(4)}"
+            meta[m.group(1)] = f"{m.group(2)} {src}"
+    except Exception as e:
+        print(f"(no HLO metadata: {e})", file=sys.stderr)
+
+    report(trace_dir, meta)
 
 
-def report(trace_dir):
+def report(trace_dir, meta=None):
     """Summarize device op self-times from the .trace.json.gz event dump."""
     paths = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True))
     if not paths:
@@ -96,8 +119,10 @@ def report(trace_dir):
         total += dur
     top = sorted(op_time.items(), key=lambda kv: -kv[1])[:40]
     print(f"total device op time: {total:.1f} ms over trace")
+    meta = meta or {}
     for name, ms in top:
-        print(f"{ms:8.2f} ms  {100*ms/total:5.1f}%  {name}")
+        extra = meta.get(name, "")
+        print(f"{ms:8.2f} ms  {100*ms/total:5.1f}%  {name}  {extra}")
 
 
 if __name__ == "__main__":

@@ -277,12 +277,40 @@ def block_types_from_clusters(
         n_c = rank_c[:, -1:]
         counts.append(n_c + 1)
         offset = offset + n_c + 1
-    ranked_ext = jnp.concatenate([ranked, jnp.zeros((b, 1), jnp.int32)], axis=1)
-    btypes = jnp.where(
-        valid.reshape(b, n),
-        jnp.take_along_axis(ranked_ext, labels.astype(jnp.int32), axis=1),
-        0,
+    # every member reads its root's rank: ranked[labels[i]]. A
+    # take_along_axis here lowers to a scalar TPU gather (measured 1.3 ms
+    # of the 18 ms 1080p encode step), so the lookup is reformulated as an
+    # exact two-level one-hot contraction on the MXU: split the root index
+    # into (hi, lo) = (j >> 7, j & 127), fold the rank table to
+    # (hi_size, 128), then
+    #     P[jl, i]    = sum_jh table[jh, jl] * (labels_hi[i] == jh)
+    #     btypes[i]   = sum_jl P[jl, i] * (labels_lo[i] == jl)
+    # — one (128, hi_size) x (hi_size, N) dot per frame plus a masked
+    # sublane reduction, all lane-major in N (~0.2 ms). Products are
+    # exact: ranks < 2^24 and HIGHEST splits the f32 operands losslessly.
+    hi_size = (n + 1 + 127) // 128
+    table = jnp.concatenate(
+        [ranked, jnp.zeros((b, hi_size * 128 - n), jnp.int32)], axis=1
+    ).reshape(b, hi_size, 128)
+    lab32 = labels.astype(jnp.int32)
+    onehot_hi = (
+        (lab32 >> 7)[:, None, :]
+        == jnp.arange(hi_size, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.float32)  # (b, hi, n)
+    p = jax.lax.dot_general(
+        table.astype(jnp.float32),
+        onehot_hi,
+        (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (b, 128, n)
+    onehot_lo = (
+        (lab32 & 127)[:, None, :]
+        == jnp.arange(128, dtype=jnp.int32)[None, :, None]
     )
+    btypes = jnp.sum(
+        jnp.where(onehot_lo, p, 0.0), axis=1
+    ).astype(jnp.int32)  # (b, n)
+    btypes = jnp.where(valid.reshape(b, n), btypes, 0)
     return (
         btypes.reshape(b, h, w),
         jnp.concatenate(counts, axis=1),
