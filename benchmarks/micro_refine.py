@@ -1,0 +1,475 @@
+"""Microbenchmark: fused refine kernel variants at the 1080p bench shapes.
+
+Times ``refine_mads_pallas`` (production) against candidate restructurings
+on the real TPU, checking bit-exactness against the production kernel
+before timing. Shapes mirror bench.py's encode step: 16 frames, padded
+1088x1920 luma, 3 HBMA refine levels (r=1; bound_in = 14 / 6 / 2).
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+
+from svc_tpu.ops.motion_pallas import refine_mads_pallas  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Variant A: binary-decomposed select chains (log2(bound) ping-pong stages
+# instead of a linear masked-select chain per axis)
+# ---------------------------------------------------------------------------
+
+
+def _stage_plan(bound_k: int):
+    """Per-bit output extents for remaining shift budget ``bound_k`` (in
+    units of 2 pixels). Returns [(bit, r_post), ...] high bit first."""
+    plan = []
+    r_pre = bound_k
+    for i in range(max(bound_k.bit_length(), 1) - 1, -1, -1):
+        r_post = min(r_pre, max((1 << i) - 1, r_pre - (1 << i)))
+        plan.append((i, r_post))
+        r_pre = r_post
+    return plan
+
+
+def _make_binary_refine_kernel(
+    r: int, bound_in: int, pad: int, bh: int, bw: int, n_tiles: int, cw: int
+):
+    wh, ww = bh + 2 * r, bw + 2 * r
+    bound_k = bound_in // 2  # mv is even; k = (mv + bound) / 2 in [0, 2*bound_k]
+    plan = _stage_plan(bound_in // 2)
+
+    def kernel(*refs):
+        views = refs[:n_tiles]
+        a_ref, m_ref, o_ref, cells_scr, pp_a, pp_b = refs[n_tiles:]
+
+        for t in range(n_tiles):
+            cells_scr[t * bh : (t + 1) * bh, :, :] = views[t][0]
+
+        mvy = m_ref[0, 0:1, :, :]  # (1, 1, mfw) int32
+        mvx = m_ref[0, 1:2, :, :]
+        ky = (mvy + bound_in) >> 1
+        kx = (mvx + bound_in) >> 1
+
+        # rows: win[y] = cells[y + 2*ky] realized as binary shift stages
+        bufs = [pp_a, pp_b]
+        cur, cur_h = cells_scr, n_tiles * bh
+        h_out = wh
+        for si, (bit, r_post) in enumerate(plan):
+            h_out = wh + 2 * r_post
+            sh = 2 << bit  # row shift when this bit of ky is set
+            dst = bufs[si % 2]
+            take = (ky >> bit) & 1
+            dst[0:h_out, 0:cw, :] = jnp.where(
+                take == 1, cur[sh : sh + h_out, 0:cw, :], cur[0:h_out, 0:cw, :]
+            )
+            cur, cur_h = dst, h_out
+        win_buf = cur
+
+        # cols: out[x] = win[:, x + 2*kx]; same stages on the lane-adjacent
+        # axis. Buffers are wide enough that over-reads stay in-bounds
+        # (over-read values are never selected into used positions).
+        for si, (bit, r_post) in enumerate(plan):
+            w_out = ww + 2 * r_post
+            sh = 2 << bit
+            dst = bufs[(si + len(plan)) % 2]
+            take = (kx >> bit) & 1
+            dst[0:wh, 0:w_out, :] = jnp.where(
+                take == 1,
+                win_buf[0:wh, sh : sh + w_out, :],
+                win_buf[0:wh, 0:w_out, :],
+            )
+            win_buf = dst
+        out = win_buf[0:wh, 0:ww, :]
+
+        a = a_ref[0].astype(jnp.int32)
+        o_ref[...] = jnp.zeros_like(o_ref)
+        i = 0
+        for oy in range(2 * r + 1):
+            for ox in range(2 * r + 1):
+                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                sad = jnp.sum(jnp.abs(cand - a), axis=(0, 1))
+                o_ref[0, i : i + 1, :] = sad[None, :]
+                i += 1
+
+    return kernel
+
+
+def refine_mads_binary(
+    tracked, anchor, mv_yx, r, bound_in, block_w, block_h
+):
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    pad = bound_in + r
+    ch = block_h + 2 * pad
+    cw = block_w + 2 * pad
+    wh = block_h + 2 * r
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+
+    # cells must cover the largest stage read: h_out(top) + 2*2^top
+    plan = _stage_plan(bound_in // 2)
+    top_bit, top_rpost = plan[0]
+    read_h = wh + 2 * top_rpost + (2 << top_bit)
+    n_tiles = -(-max(ch, read_h) // block_h)
+    buf_h = max(wh + 2 * p for _, p in plan)
+    buf_w = max(cw, max(ww_ for ww_ in (
+        block_w + 2 * r + 2 * p + (2 << b) for b, p in plan
+    )))
+
+    rows_p = (mfh - 1 + n_tiles) * block_h
+    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
+    tp = jnp.pad(
+        tracked,
+        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
+    )
+    parts = [
+        jnp.swapaxes(
+            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
+            -1,
+            -2,
+        )
+        for c0 in range(0, cw, block_w)
+    ]
+    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
+    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
+
+    anchor_p = jnp.swapaxes(
+        anchor.reshape(fh, mfw, block_w), -1, -2
+    ).reshape(mfh, block_h, block_w, mfw)
+
+    kernel = _make_binary_refine_kernel(
+        r, bound_in, pad, block_h, block_w, n_tiles, cw
+    )
+    tile_specs = [
+        pl.BlockSpec(
+            (1, block_h, cw, mfw),
+            functools.partial(lambda d, i: (i + d, 0, 0, 0), d),
+            memory_space=pltpu.VMEM,
+        )
+        for d in range(n_tiles)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(mfh,),
+        in_specs=tile_specs
+        + [
+            pl.BlockSpec(
+                (1, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 1, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_out, mfw), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_tiles * block_h, cw, mfw), jnp.uint8),
+            pltpu.VMEM((buf_h, buf_w, mfw), jnp.uint8),
+            pltpu.VMEM((buf_h, buf_w, mfw), jnp.uint8),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(*([tiles] * n_tiles), anchor_p, mv_yx)
+
+
+# ---------------------------------------------------------------------------
+# Variant C: two-stage coarse/fine selects inside the fused kernel — the
+# select_windows decomposition (ops/motion.py) brought into Pallas. Coarse
+# slices are assembled straight from the tile refs (no cells scratch).
+# ---------------------------------------------------------------------------
+
+
+def _make_two_stage_kernel(r, bound_in, pad, bh, bw, n_tiles, cw):
+    wh, ww = bh + 2 * r, bw + 2 * r
+    amax = bound_in - 2
+    coarse = list(range(-amax, amax + 1, 6))
+    fine = (-2, 0, 2)
+
+    def kernel(*refs):
+        views = refs[:n_tiles]
+        a_ref, m_ref, o_ref, rc_scr, rf_scr, cc_scr = refs[n_tiles:]
+        mvy = m_ref[0, 0:1, :, :]  # (1, 1, mfw) int32
+        mvx = m_ref[0, 1:2, :, :]
+
+        def coarse_of(mv):
+            # round(mv/6)*6 for even mv (never exactly half), clipped
+            mag = (jnp.abs(mv) + 3) // 6 * 6
+            return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
+
+        ay = coarse_of(mvy)
+        ax = coarse_of(mvx)
+        fy = mvy - ay  # in {-2, 0, 2}
+        fx = mvx - ax
+
+        def row_range(lo, size):
+            pieces = []
+            off = lo
+            while off < lo + size:
+                t = off // bh
+                take = min((t + 1) * bh, lo + size) - off
+                pieces.append(views[t][0, off - t * bh : off - t * bh + take])
+                off += take
+            if len(pieces) == 1:
+                return pieces[0]
+            return jnp.concatenate(pieces, axis=0)
+
+        inter = None
+        for a in coarse:
+            sl = row_range(pad + a - 2 - r, wh + 4)
+            inter = sl if inter is None else jnp.where(ay == a, sl, inter)
+        rc_scr[...] = inter
+
+        rc = rc_scr[...]
+        winf = None
+        for f_ in fine:
+            sl = rc[2 + f_ : 2 + f_ + wh, :, :]
+            winf = sl if winf is None else jnp.where(fy == f_, sl, winf)
+        rf_scr[...] = winf
+
+        rf = rf_scr[...]
+        cinter = None
+        for a in coarse:
+            sl = rf[:, pad + a - 2 - r : pad + a - 2 - r + ww + 4, :]
+            cinter = sl if cinter is None else jnp.where(ax == a, sl, cinter)
+        cc_scr[...] = cinter
+
+        cc = cc_scr[...]
+        out = None
+        for f_ in fine:
+            sl = cc[:, 2 + f_ : 2 + f_ + ww, :]
+            out = sl if out is None else jnp.where(fx == f_, sl, out)
+
+        a_blk = a_ref[0].astype(jnp.int32)
+        o_ref[...] = jnp.zeros_like(o_ref)
+        i = 0
+        for oy in range(2 * r + 1):
+            for ox in range(2 * r + 1):
+                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
+                o_ref[0, i : i + 1, :] = sad[None, :]
+                i += 1
+
+    return kernel
+
+
+def refine_mads_two_stage(tracked, anchor, mv_yx, r, bound_in, block_w, block_h):
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    pad = bound_in + r
+    ch = block_h + 2 * pad
+    cw = block_w + 2 * pad
+    wh, ww = block_h + 2 * r, block_w + 2 * r
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+    n_tiles = -(-ch // block_h)
+
+    rows_p = (mfh - 1 + n_tiles) * block_h
+    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
+    tp = jnp.pad(
+        tracked,
+        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
+    )
+    parts = [
+        jnp.swapaxes(
+            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
+            -1,
+            -2,
+        )
+        for c0 in range(0, cw, block_w)
+    ]
+    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
+    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
+    anchor_p = jnp.swapaxes(
+        anchor.reshape(fh, mfw, block_w), -1, -2
+    ).reshape(mfh, block_h, block_w, mfw)
+
+    kernel = _make_two_stage_kernel(
+        r, bound_in, pad, block_h, block_w, n_tiles, cw
+    )
+    tile_specs = [
+        pl.BlockSpec(
+            (1, block_h, cw, mfw),
+            functools.partial(lambda d, i: (i + d, 0, 0, 0), d),
+            memory_space=pltpu.VMEM,
+        )
+        for d in range(n_tiles)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(mfh,),
+        in_specs=tile_specs
+        + [
+            pl.BlockSpec(
+                (1, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 1, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_out, mfw), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((wh + 4, cw, mfw), jnp.uint8),
+            pltpu.VMEM((wh, cw, mfw), jnp.uint8),
+            pltpu.VMEM((wh, ww + 4, mfw), jnp.uint8),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(*([tiles] * n_tiles), anchor_p, mv_yx)
+
+
+# ---------------------------------------------------------------------------
+# Variant B: block-transposed pure-XLA path — cells (ch, cw, mfh, mfw) put
+# the BLOCK indices on the vreg dims, so every masked select and SAD touches
+# fat (mfh x mfw) tiles instead of per-program (ch x cw) slivers.
+# ---------------------------------------------------------------------------
+
+
+def _spread_cells_bt(plane, block_w, block_h, pad):
+    """(ch, cw, mfh, mfw) block-transposed spread cells."""
+    ph, pw = plane.shape
+    fh, fw = ph - 2 * pad, pw - 2 * pad
+    mfh, mfw = fh // block_h, fw // block_w
+    ch, cw = block_h + 2 * pad, block_w + 2 * pad
+
+    needed = ((cw - 1) // block_w) * block_w + mfw * block_w
+    if needed > pw:
+        plane = jnp.pad(plane, ((0, 0), (0, needed - pw)))
+    needed_r = ((ch - 1) // block_h) * block_h + mfh * block_h
+    if needed_r > ph:
+        plane = jnp.pad(plane, ((0, needed_r - ph), (0, 0)))
+
+    # rows: ceil(ch/bh) block-aligned contiguous reshapes, concat on the
+    # within-cell axis; cols likewise — ONE transpose at the end
+    rparts = []
+    for r0 in range(0, ch, block_h):
+        seg = plane[r0 : r0 + mfh * block_h, :]
+        rparts.append(seg.reshape(mfh, block_h, plane.shape[1]))
+    rows = jnp.concatenate(rparts, axis=1)  # (mfh, ~ch, pw)
+
+    cparts = []
+    for c0 in range(0, cw, block_w):
+        seg = rows[:, :, c0 : c0 + mfw * block_w]
+        cparts.append(seg.reshape(mfh, rows.shape[1], mfw, block_w))
+    stacked = jnp.concatenate(cparts, axis=-1)  # (mfh, ch', mfw, ~cw)
+    out = jnp.transpose(stacked, (1, 3, 0, 2))  # (ch', ~cw, mfh, mfw)
+    return out[:ch, :cw]
+
+
+def refine_sads_bt(tracked, anchor, mv_yx, r, bound_in, block_w, block_h):
+    """Block-transposed SADs, same output contract as refine_mads_pallas."""
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    pad = bound_in + r
+    wh, ww = block_h + 2 * r, block_w + 2 * r
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+
+    tp = jnp.pad(tracked, ((pad, pad), (pad, pad)))
+    cells = _spread_cells_bt(tp, block_w, block_h, pad)  # (ch, cw, mfh, mfw)
+
+    mvy = mv_yx[:, 0, 0, :][None, None]  # (1, 1, mfh, mfw)
+    mvx = mv_yx[:, 1, 0, :][None, None]
+    shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
+
+    win = None
+    for s in shifts:
+        sl = cells[pad + s - r : pad + s - r + wh]
+        win = sl if win is None else jnp.where(mvy == s, sl, win)
+    out = None
+    for s in shifts:
+        sl = win[:, pad + s - r : pad + s - r + ww]
+        out = sl if out is None else jnp.where(mvx == s, sl, out)
+
+    anchor_bt = jnp.transpose(
+        anchor.reshape(mfh, block_h, mfw, block_w), (1, 3, 0, 2)
+    )  # (bh, bw, mfh, mfw)
+    sads = []
+    for oy in range(2 * r + 1):
+        for ox in range(2 * r + 1):
+            cand = out[oy : oy + block_h, ox : ox + block_w]
+            diff = jnp.maximum(cand, anchor_bt) - jnp.minimum(
+                cand, anchor_bt
+            )
+            sads.append(jnp.sum(diff.astype(jnp.int32), axis=(0, 1)))
+    z = jnp.zeros((rows_out - ncand, mfh, mfw), jnp.int32)
+    out32 = jnp.concatenate([jnp.stack(sads), z])  # (rows_out, mfh, mfw)
+    return jnp.moveaxis(out32, 1, 0)  # (mfh, rows_out, mfw)
+
+
+def bench_one(name, fn, *args, iters=30):
+    f = jax.jit(fn, static_argnums=(3, 4, 5, 6))
+    vf = jax.vmap(f, in_axes=(0, 0, 0, None, None, None, None))
+    out = vf(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = vf(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:28s} {dt:7.3f} ms/batch")
+    return out, dt
+
+
+def main():
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+    t = 16
+    levels = [
+        ("lvl0 1088x1920 b16 bound14", 1088, 1920, 16, 16, 1, 14),
+        ("lvl1 544x960  b8  bound6", 544, 960, 8, 8, 1, 6),
+        ("lvl2 272x480  b4  bound2", 272, 480, 4, 4, 1, 2),
+    ]
+    total = {"prod": 0.0, "bt": 0.0}
+    for name, fh, fw, bw, bh, r, bound in levels:
+        mfh, mfw = fh // bh, fw // bw
+        tracked = jnp.asarray(
+            rng.integers(0, 256, (t, fh, fw), dtype=np.uint8)
+        )
+        anchor = jnp.asarray(
+            rng.integers(0, 256, (t, fh, fw), dtype=np.uint8)
+        )
+        mv = rng.integers(-bound // 2, bound // 2 + 1, (t, mfh, 1, mfw)) * 2
+        mv_yx = jnp.asarray(
+            np.stack([mv, np.roll(mv, 1, axis=0)], axis=2), jnp.int32
+        )  # (t, mfh, 2, 1, mfw)
+
+        print(f"-- {name} (mfh={mfh}, mfw={mfw})")
+        ref, dt0 = bench_one(
+            "prod refine_mads_pallas", refine_mads_pallas,
+            tracked, anchor, mv_yx, r, bound, bw, bh,
+        )
+        got, dt1 = bench_one(
+            "block-transposed XLA", refine_sads_bt,
+            tracked, anchor, mv_yx, r, bound, bw, bh,
+        )
+        # compare only the real candidate rows; pad rows differ (prod
+        # zeroes the whole out_ref, both pad with zeros — still compare)
+        ok = bool(jnp.array_equal(ref, got))
+        print(f"bit-exact vs prod: {ok}")
+        if not ok:
+            d = np.asarray(ref) != np.asarray(got)
+            print("mismatch frac:", d.mean(), "first:", np.argwhere(d)[:3])
+        total["prod"] += dt0
+        total["bt"] += dt1
+    print("totals:", {k: round(v, 3) for k, v in total.items()})
+
+
+if __name__ == "__main__":
+    main()
