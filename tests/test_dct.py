@@ -86,3 +86,42 @@ class TestQuant:
         gazed = jnp.asarray([[False, False], [True, True]])
         steps = np.asarray(block_quant_steps(types, gazed, 2, 640))
         np.testing.assert_array_equal(steps, [[640, 2], [1, 1]])
+
+
+class TestWireDctPallas:
+    """The Pallas wire-DCT kernel (interpret mode on CPU) against the XLA
+    formulation, and the row-paired MXU variant against the unpaired one
+    (diag(W, W) interleaves exact zeros — results must be bit-identical)."""
+
+    def _planes(self, shape=(3, 2, 32, 48)):
+        rng = np.random.default_rng(11)
+        return jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+
+    def test_kernel_matches_xla_wire_layout(self):
+        from svc_tpu.ops.dct import dct2_planes_to_wire
+        from svc_tpu.ops.dct_pallas import dct2_planes_to_wire_pallas
+
+        planes = self._planes()
+        ref = dct2_planes_to_wire(planes, 8, 8)
+        got = dct2_planes_to_wire_pallas(planes, 8, 8)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-3, rtol=0
+        )
+
+    def test_paired_bit_identical_to_unpaired(self):
+        from svc_tpu.ops import dct_pallas
+
+        planes = self._planes((3, 2, 32, 48))  # nby=4 -> paired (r=4)
+        paired = dct_pallas.dct2_planes_to_wire_pallas(planes, 8, 8)
+        assert dct_pallas._rows_per_step(4) % 2 == 0
+
+        # force the unpaired kernel by monkeypatching the row count to an
+        # odd divisor
+        orig = dct_pallas._rows_per_step
+        dct_pallas._rows_per_step = lambda nby, target=8: 1
+        try:
+            unpaired = dct_pallas.dct2_planes_to_wire_pallas(planes, 8, 8)
+        finally:
+            dct_pallas._rows_per_step = orig
+        np.testing.assert_array_equal(np.asarray(paired), np.asarray(unpaired))
