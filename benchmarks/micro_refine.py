@@ -335,6 +335,174 @@ def refine_mads_two_stage(tracked, anchor, mv_yx, r, bound_in, block_w, block_h)
 
 
 # ---------------------------------------------------------------------------
+# Variant D: two-stage kernel, two block rows per grid program — halves
+# program count and shares tile DMAs between the paired rows.
+# ---------------------------------------------------------------------------
+
+
+def _make_two_stage_x2_kernel(r, bound_in, pad, bh, bw, n_tiles, cw):
+    wh, ww = bh + 2 * r, bw + 2 * r
+    amax = bound_in - 2
+    coarse = list(range(-amax, amax + 1, 6))
+    fine = (-2, 0, 2)
+    nv = n_tiles + 1  # tile views covering two consecutive block rows
+
+    def kernel(*refs):
+        views = refs[:nv]
+        a_ref, m_ref, o_ref, rc_scr, rf_scr, cc_scr = refs[nv:]
+
+        def coarse_of(mv):
+            mag = (jnp.abs(mv) + 3) // 6 * 6
+            return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
+
+        def row_range(base, lo, size):
+            pieces = []
+            off = base + lo
+            while off < base + lo + size:
+                t = off // bh
+                take = min((t + 1) * bh, base + lo + size) - off
+                pieces.append(
+                    views[t][0, off - t * bh : off - t * bh + take]
+                )
+                off += take
+            if len(pieces) == 1:
+                return pieces[0]
+            return jnp.concatenate(pieces, axis=0)
+
+        for half in (0, 1):
+            mvy = m_ref[half, 0:1, :, :]
+            mvx = m_ref[half, 1:2, :, :]
+            ay, ax = coarse_of(mvy), coarse_of(mvx)
+            fy, fx = mvy - ay, mvx - ax
+
+            inter = None
+            for a in coarse:
+                sl = row_range(half * bh, pad + a - 2 - r, wh + 4)
+                inter = sl if inter is None else jnp.where(
+                    ay == a, sl, inter
+                )
+            rc_scr[...] = inter
+
+            rc = rc_scr[...]
+            winf = None
+            for f_ in fine:
+                sl = rc[2 + f_ : 2 + f_ + wh, :, :]
+                winf = sl if winf is None else jnp.where(
+                    fy == f_, sl, winf
+                )
+            rf_scr[...] = winf
+
+            rf = rf_scr[...]
+            cinter = None
+            for a in coarse:
+                sl = rf[:, pad + a - 2 - r : pad + a - 2 - r + ww + 4, :]
+                cinter = sl if cinter is None else jnp.where(
+                    ax == a, sl, cinter
+                )
+            cc_scr[...] = cinter
+
+            cc = cc_scr[...]
+            out = None
+            for f_ in fine:
+                sl = cc[:, 2 + f_ : 2 + f_ + ww, :]
+                out = sl if out is None else jnp.where(fx == f_, sl, out)
+
+            a_blk = a_ref[half].astype(jnp.int32)
+            i = 0
+            for oy in range(2 * r + 1):
+                for ox in range(2 * r + 1):
+                    cand = out[oy : oy + bh, ox : ox + bw, :].astype(
+                        jnp.int32
+                    )
+                    sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
+                    o_ref[half, i : i + 1, :] = sad[None, :]
+                    i += 1
+            ncand = (2 * r + 1) ** 2
+            for i in range(ncand, o_ref.shape[1]):
+                o_ref[half, i : i + 1, :] = jnp.zeros(
+                    (1, o_ref.shape[2]), jnp.int32
+                )
+
+    return kernel
+
+
+def refine_mads_two_stage_x2(
+    tracked, anchor, mv_yx, r, bound_in, block_w, block_h
+):
+    fh, fw = tracked.shape
+    mfh, mfw = fh // block_h, fw // block_w
+    assert mfh % 2 == 0
+    pad = bound_in + r
+    ch = block_h + 2 * pad
+    cw = block_w + 2 * pad
+    wh = block_h + 2 * r
+    ww = block_w + 2 * r
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+    n_tiles = -(-ch // block_h)
+    nv = n_tiles + 1
+
+    rows_p = (mfh - 1 + nv) * block_h
+    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
+    tp = jnp.pad(
+        tracked,
+        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
+    )
+    parts = [
+        jnp.swapaxes(
+            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
+            -1,
+            -2,
+        )
+        for c0 in range(0, cw, block_w)
+    ]
+    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
+    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
+    anchor_p = jnp.swapaxes(
+        anchor.reshape(fh, mfw, block_w), -1, -2
+    ).reshape(mfh, block_h, block_w, mfw)
+
+    kernel = _make_two_stage_x2_kernel(
+        r, bound_in, pad, block_h, block_w, n_tiles, cw
+    )
+    tile_specs = [
+        pl.BlockSpec(
+            (1, block_h, cw, mfw),
+            functools.partial(lambda d, i: (2 * i + d, 0, 0, 0), d),
+            memory_space=pltpu.VMEM,
+        )
+        for d in range(nv)
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(mfh // 2,),
+        in_specs=tile_specs
+        + [
+            pl.BlockSpec(
+                (2, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, 2, 1, mfw), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, rows_out, mfw), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((wh + 4, cw, mfw), jnp.uint8),
+            pltpu.VMEM((wh, cw, mfw), jnp.uint8),
+            pltpu.VMEM((wh, ww + 4, mfw), jnp.uint8),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(*([tiles] * nv), anchor_p, mv_yx)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Variant B: block-transposed pure-XLA path — cells (ch, cw, mfh, mfw) put
 # the BLOCK indices on the vreg dims, so every masked select and SAD touches
 # fat (mfh x mfw) tiles instead of per-program (ch x cw) slivers.
