@@ -63,26 +63,16 @@ def _make_lloyd_kernel(
         dim_cols = (col128 < d).astype(jnp.float32)
         tril_c = tril_ref[...]
 
-        x2 = None  # |x|^2 per point, hoisted out of the iteration loop
-        for dd in range(d):
-            t = x[dd : dd + 1, :] ** 2
-            x2 = t if x2 is None else x2 + t
-
         def assign(cen):
-            # |c - x|^2 = |c|^2 - 2 c.x + |x|^2: the cross term is ONE
-            # MXU dot over the small feature axis instead of d broadcast
-            # subtract-square passes on the VPU (the assign loop was the
-            # bulk of the kernel's 1.9 ms/batch). Float reassociation can
-            # flip labels on exact distance ties — the same documented
-            # divergence class as the centers-update dot (module
-            # docstring / quirk Q7).
-            c2 = jnp.sum(cen[:, :d] ** 2, axis=1, keepdims=True)  # (16, 1)
-            cx = jax.lax.dot_general(
-                cen[:, :d], x[:d, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (16, N)
-            d2 = jnp.maximum(c2 - 2.0 * cx + x2, 0.0)
+            # per-dimension broadcast subtract-square: measured FASTER
+            # than the |c|^2 - 2c.x + |x|^2 MXU-dot expansion here (the
+            # feature axis is tiny, so 30 sequential M=16/K=d dots are
+            # latency-bound and cost ~0.4 ms/batch more than these VPU
+            # passes)
+            d2 = None
+            for dd in range(d):
+                t = (cen[:, dd : dd + 1] - x[dd : dd + 1, :]) ** 2
+                d2 = t if d2 is None else d2 + t
             d2 = d2 + fake_row  # exclude padding rows
             best = jnp.min(d2, axis=0, keepdims=True)  # (1, N)
             lab = jnp.min(

@@ -575,8 +575,13 @@ def refine_mads_pallas(
         )
         for c0 in range(0, cw, block_w)
     ]
-    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
-    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
+    # keep the part-aligned width (cwp >= cw): trimming to cw here forced
+    # XLA to materialize a second full copy of the pitched plane at the
+    # tiles reshape (~0.5 ms/batch at 1080p); the kernels never read
+    # beyond column 2*bound_in + ww < cw, so the pad columns are inert
+    cwp = len(parts) * block_w
+    cells_p = jnp.concatenate(parts, axis=1)
+    tiles = cells_p.reshape(rows_p // block_h, block_h, cwp, mfw)
 
     # anchor in block-pitched layout: leading-dim reshape is free
     anchor_p = jnp.swapaxes(
@@ -587,24 +592,24 @@ def refine_mads_pallas(
     ww_ = block_w + 2 * r
     if _two_stage_ok(bound_in):
         kernel = _make_two_stage_refine_kernel(
-            r, bound_in, pad, block_h, block_w, n_tiles, cw
+            r, bound_in, pad, block_h, block_w, n_tiles, cwp
         )
         scratches = [
-            pltpu.VMEM((wh_ + 4, cw, mfw), jnp.uint8),
-            pltpu.VMEM((wh_, cw, mfw), jnp.uint8),
+            pltpu.VMEM((wh_ + 4, cwp, mfw), jnp.uint8),
+            pltpu.VMEM((wh_, cwp, mfw), jnp.uint8),
             pltpu.VMEM((wh_, ww_ + 4, mfw), jnp.uint8),
         ]
     else:
         kernel = _make_fused_refine_kernel(
-            r, bound_in, pad, block_h, block_w, n_tiles, cw
+            r, bound_in, pad, block_h, block_w, n_tiles, cwp
         )
         scratches = [
-            pltpu.VMEM((n_tiles * block_h, cw, mfw), jnp.uint8),
-            pltpu.VMEM((wh, cw, mfw), jnp.uint8),
+            pltpu.VMEM((n_tiles * block_h, cwp, mfw), jnp.uint8),
+            pltpu.VMEM((wh, cwp, mfw), jnp.uint8),
         ]
     tile_specs = [
         pl.BlockSpec(
-            (1, block_h, cw, mfw),
+            (1, block_h, cwp, mfw),
             functools.partial(lambda d, i: (i + d, 0, 0, 0), d),
             memory_space=pltpu.VMEM,
         )
