@@ -72,9 +72,11 @@ def main():
 
     def sync(out):
         # force completion: fetch one element (block_until_ready is a
-        # no-op on the tunneled axon queue)
+        # no-op on the tunneled axon queue). Indexing instead of ravel:
+        # a full-tensor ravel compiles a relayout of the output, which
+        # the tunneled backend rejects for some layouts.
         leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf.ravel()[0:1]))
+        np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][0:1]))
         return out
 
     # packed (N, H, W*3) form: dense device tiling (Encoder.preprocess)

@@ -32,7 +32,7 @@ import numpy as np
 
 from svc_tpu.config import DecoderConfig
 from svc_tpu.io import bitstream
-from svc_tpu.ops.dct import idct2_wire_to_planes
+from svc_tpu.ops.dct import idct2_wire_to_planes_pitched
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
 from svc_tpu.utils.mathx import round_half_away_from_zero
@@ -120,13 +120,18 @@ class Decoder:
                 )
                 # per-block steps broadcast directly in block layout
                 deq = quantize(c, steps[:, :, None])
-                planes = idct2_wire_to_planes(
+                # column-pitched planes: the spatial layout's transpose
+                # tile-pads 16x (see idct2_wire_to_planes_pitched); the
+                # resize gathers through col_map, bit-identically
+                planes, col_map = idct2_wire_to_planes_pitched(
                     deq, channels, tbh, tbw
-                )  # (C, PH, PW), BGR plane order
+                )  # (C, PH, bw*nbx), BGR plane order
                 # display path: /255, bilinear resize to original size,
                 # imshow (libs/decoder.cpp:208-211); the /255 and the
                 # implicit *255 of display cancel — resize in 0..255 space
-                out = resize_bilinear(planes, h.frame_h, h.frame_w)
+                out = resize_bilinear(
+                    planes, h.frame_h, h.frame_w, col_map=col_map
+                )
                 return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
             planes = jax.vmap(per_frame)(

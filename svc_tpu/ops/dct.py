@@ -141,29 +141,110 @@ def dct2_packed_to_wire(
     return dct2_planes_to_wire(planes, block_w, block_h)
 
 
+@functools.lru_cache(maxsize=None)
+def _inv_stage_weights(channels: int, block_h: int, block_w: int):
+    """The two ``(C*n, C*n)`` block-structured inverse-stage matrices.
+
+    Operating in WIRE-LANE space: stage 1 applies ``dh`` over the row
+    index (``(c,k,l) -> (c,i,l)``), stage 2 applies ``dw`` over the
+    column index (``(c,i,l) -> (c,i,j)``). Keeping the whole inverse in
+    the wire layout means the only relayout in the decode path is ONE
+    well-tiled transpose of the pixel-space result — the small-axis
+    einsum formulation made XLA emit two ~5 ms relayout copies per
+    16-frame 1080p batch around the contraction (42% of decode time).
+    Each output element still sums exactly ``block_h`` (resp.
+    ``block_w``) terms, the same row/column factorization the golden
+    decoder gate is baselined against.
+    """
+    dh = dct_matrix(block_h)
+    dw = dct_matrix(block_w)
+    n = block_h * block_w
+    m1 = np.zeros((channels * n, channels * n), np.float32)
+    m2 = np.zeros((channels * n, channels * n), np.float32)
+    for c in range(channels):
+        o = c * n
+        for k in range(block_h):
+            for i in range(block_h):
+                for l in range(block_w):
+                    m1[o + k * block_w + l, o + i * block_w + l] = dh[k, i]
+        for i in range(block_h):
+            for l in range(block_w):
+                for j in range(block_w):
+                    m2[o + i * block_w + l, o + i * block_w + j] = dw[l, j]
+    return m1, m2
+
+
 def idct2_wire_to_planes(
     blocks: jnp.ndarray, channels: int, block_h: int, block_w: int
 ) -> jnp.ndarray:
     """Inverse blockwise DCT of one frame's wire coefficients into
     ``(C, H, W)`` float32 channel planes.
 
-    The plane output keeps the TPU lane axis wide (W) — the channel-last
-    variant below tile-pads its trailing C=3 axis to 128 lanes, which made
-    the decoder spend most of its time in relayout copies.
+    Wire-lane-space stage dots (see :func:`_inv_stage_weights`) followed
+    by a single reshape+transpose into planes. The plane output keeps the
+    TPU lane axis wide (W) — a channel-last variant tile-pads its
+    trailing C=3 axis to 128 lanes, which made the decoder spend most of
+    its time in relayout copies.
     """
-    nby, nbx, _ = blocks.shape
-    dh = jnp.asarray(dct_matrix(block_h))
-    dw = jnp.asarray(dct_matrix(block_w))
-    split = blocks.reshape(nby, nbx, channels, block_h, block_w)
-    out = jnp.einsum(
-        "ik,yxcij,jl->cykxl",
-        dh,
-        split,
-        dw,
+    nby, nbx, cn = blocks.shape
+    n = block_h * block_w
+    m1, m2 = _inv_stage_weights(channels, block_h, block_w)
+    flat = blocks.reshape(nby * nbx, cn)
+    a = jax.lax.dot_general(
+        flat, jnp.asarray(m1), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    z = jax.lax.dot_general(
+        a, jnp.asarray(m2), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    z = z.reshape(nby, nbx, channels, block_h, block_w)
+    out = jnp.transpose(z, (2, 0, 3, 1, 4))  # (C, nby, bh, nbx, bw)
     return out.reshape(channels, nby * block_h, nbx * block_w)
+
+
+def idct2_wire_to_planes_pitched(
+    blocks: jnp.ndarray, channels: int, block_h: int, block_w: int
+):
+    """Inverse blockwise DCT into COLUMN-PITCHED planes.
+
+    Returns ``(planes, col_map)`` where ``planes`` is ``(C, PH,
+    bw*nbx)`` float32 with storage column ``j*nbx + x`` holding spatial
+    column ``x*bw + j``, and ``col_map`` is the int32 spatial->storage
+    lookup. The spatial layout's transpose lands on a trailing
+    ``(nbx, bw)`` f32 intermediate whose ``bw``-wide lane axis tile-pads
+    16x (measured ~10 ms of relayout per 16-frame 1080p decode batch);
+    the pitched permutation ``(c, nby, bh, bw, nbx)`` tiles exactly
+    (8 sublanes x nbx lanes), so the single transpose runs at memory
+    bandwidth. Downstream consumers remap column indices through
+    ``col_map`` (see ``resize_bilinear``'s ``col_map`` argument) — the
+    gathered values, and therefore all results, are bit-identical to the
+    spatial-layout path.
+    """
+    nby, nbx, cn = blocks.shape
+    m1, m2 = _inv_stage_weights(channels, block_h, block_w)
+    flat = blocks.reshape(nby * nbx, cn)
+    a = jax.lax.dot_general(
+        flat, jnp.asarray(m1), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    z = jax.lax.dot_general(
+        a, jnp.asarray(m2), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    z = z.reshape(nby, nbx, channels, block_h, block_w)
+    out = jnp.transpose(z, (2, 0, 3, 4, 1))  # (C, nby, bh, bw, nbx)
+    # keep the (bw, nbx) pitch as separate axes: merging them is a full
+    # relayout copy under TPU tiling, while the leading (nby, bh) merge
+    # is free — consumers gather columns through the (j, x) pair
+    planes = out.reshape(channels, nby * block_h, block_w, nbx)
+    cols = np.arange(nbx * block_w, dtype=np.int32)
+    col_map = np.stack([cols % block_w, cols // block_w])  # (2, W): j, x
+    return planes, col_map
 
 
 def idct2_blockwise(frame: jnp.ndarray, block_w: int, block_h: int) -> jnp.ndarray:

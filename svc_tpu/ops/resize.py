@@ -31,16 +31,27 @@ def resize_nearest_exact(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarra
     return img[..., ys, :][..., :, xs]
 
 
-def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+def resize_bilinear(
+    img: jnp.ndarray, out_h: int, out_w: int, col_map=None
+) -> jnp.ndarray:
     """Center-aligned bilinear resize of float ``(..., H, W)`` or
     ``(..., H, W, C)`` data, matching OpenCV INTER_LINEAR coordinate
     mapping ``src = (dst + 0.5) * scale - 0.5`` with edge clamping.
+
+    ``col_map`` (int32 host array ``(2, W)`` of per-spatial-column
+    ``(j, x)`` storage pairs) supports column-pitched 4D inputs
+    ``(..., H, bw, nbx)`` from ``dct.idct2_wire_to_planes_pitched``: the
+    gather indices are remapped on the host, so results are bit-identical
+    to the spatial layout. Channels-last inputs are spatial-only.
     """
     channels_last = img.ndim >= 3 and img.shape[-1] <= 4
     if channels_last:
         h, w = img.shape[-3], img.shape[-2]
     else:
         h, w = img.shape[-2], img.shape[-1]
+    if col_map is not None:
+        h = img.shape[-3]
+        w = col_map.shape[1]  # spatial width; storage is (bw, nbx) pitched
 
     def axis_weights(out_n: int, in_n: int):
         src = (np.arange(out_n) + 0.5) * in_n / out_n - 0.5
@@ -51,24 +62,49 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         frac = np.where(i0 >= in_n - 1, 0.0, frac).astype(np.float32)
         i0 = np.clip(i0, 0, in_n - 1)
         i1 = np.clip(i0 + 1, 0, in_n - 1)
-        return i0, i1, jnp.asarray(frac)
+        # an identity axis (all-zero fractions, e.g. a padded width that
+        # equals the output) lets callers skip the second gather and the
+        # blend — multiplying by exact 0/1 weights is bit-identical
+        return i0, i1, jnp.asarray(frac), bool((frac == 0).all())
 
-    y0, y1, fy = axis_weights(out_h, h)
-    x0, x1, fx = axis_weights(out_w, w)
+    y0, y1, fy, y_ident = axis_weights(out_h, h)
+    x0, x1, fx, x_ident = axis_weights(out_w, w)
+
+    def blend(a_fn, b_fn, frac, ident, fshape):
+        a = a_fn()
+        if ident:
+            return a
+        return a * (1 - frac.reshape(fshape)) + b_fn() * frac.reshape(
+            fshape
+        )
+    if col_map is not None:
+        # pitched path: rows gather on axis -3, the column step gathers
+        # through the (j, x) pair of each spatial source column
+        j0, b0 = col_map[0][x0], col_map[1][x0]
+        j1, b1 = col_map[0][x1], col_map[1][x1]
+        mid0 = blend(
+            lambda: img[..., y0, :, :], lambda: img[..., y1, :, :],
+            fy, y_ident, (-1, 1, 1),
+        )  # (..., out_h, bw, nbx)
+        return blend(
+            lambda: mid0[..., j0, b0], lambda: mid0[..., j1, b1],
+            fx, x_ident, (-1,),
+        )
 
     if channels_last:
-        top = img[..., y0, :, :]
-        bot = img[..., y1, :, :]
-        fyb = fy[:, None, None]
-        mid0 = top * (1 - fyb) + bot * fyb
-        left = mid0[..., :, x0, :]
-        right = mid0[..., :, x1, :]
-        fxb = fx[None, :, None]
-        return left * (1 - fxb) + right * fxb
-    top = img[..., y0, :]
-    bot = img[..., y1, :]
-    fyb = fy[:, None]
-    mid0 = top * (1 - fyb) + bot * fyb
-    left = mid0[..., :, x0]
-    right = mid0[..., :, x1]
-    return left * (1 - fx) + right * fx
+        mid0 = blend(
+            lambda: img[..., y0, :, :], lambda: img[..., y1, :, :],
+            fy, y_ident, (-1, 1, 1),
+        )
+        return blend(
+            lambda: mid0[..., :, x0, :], lambda: mid0[..., :, x1, :],
+            fx, x_ident, (-1, 1),
+        )
+    mid0 = blend(
+        lambda: img[..., y0, :], lambda: img[..., y1, :],
+        fy, y_ident, (-1, 1),
+    )
+    return blend(
+        lambda: mid0[..., :, x0], lambda: mid0[..., :, x1],
+        fx, x_ident, (-1,),
+    )
