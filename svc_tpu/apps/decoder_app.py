@@ -13,6 +13,8 @@ The reference is display-only with mouse-driven gaze
   --gaze X,Y           static gaze position in original-frame pixels
   --gaze-trajectory F  text file with one "frame_index x y" row per line
   --batch-size N       frames per compiled device step (default 8)
+  --devices N          shard decode batches across N devices of a 1-D mesh
+                       (frames are data-parallel; identical output)
   --show 1             display frames in an OpenCV window with live mouse
                        gaze (requires cv2), emulating the reference GUI
 """
@@ -39,6 +41,7 @@ class _AppConfig:
         self.gaze: Optional[str] = None
         self.gaze_trajectory: Optional[str] = None
         self.batch_size = 8
+        self.devices = 0  # 0 = single device
         self.show = 0
         self.start_frame = 0
         self.max_frames = 0  # 0 = all
@@ -59,6 +62,7 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.Opt("gaze", S, fs(c, "gaze")),
         cli.Opt("gaze-trajectory", S, fs(c, "gaze_trajectory")),
         cli.Opt("batch-size", U, fs(c, "batch_size")),
+        cli.Opt("devices", U, fs(c, "devices")),
         cli.Opt("show", I, fs(c, "show")),
         # random access: every block has identical wire size, so frames
         # are seekable
@@ -126,7 +130,28 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_persistent_cache()
 
-    decoder = Decoder(cfg.decoder, header, batch_size=cfg.batch_size)
+    if cfg.devices > 1:
+        import jax
+
+        from svc_tpu.parallel.sharding import make_frame_mesh
+
+        avail = len(jax.devices())
+        if avail < cfg.devices:
+            print(
+                f"requested {cfg.devices} devices but only {avail} "
+                "available",
+                file=sys.stderr,
+            )
+            return 1
+        per_dev = -(-cfg.batch_size // cfg.devices)
+        decoder = Decoder(
+            cfg.decoder,
+            header,
+            batch_size=per_dev * cfg.devices,
+            mesh=make_frame_mesh(cfg.devices),
+        )
+    else:
+        decoder = Decoder(cfg.decoder, header, batch_size=cfg.batch_size)
 
     if cfg.show:
         return _run_gui(cfg, decoder, stream, header)

@@ -72,6 +72,11 @@ class Decoder:
       cfg: validated ``DecoderConfig``.
       header: bitstream header.
       batch_size: frames decoded per compiled step.
+      mesh: optional 1-D frame mesh (``parallel.sharding.make_frame_mesh``)
+        — frames are data-parallel in decode (each depends only on its own
+        payload and gaze rect, libs/decoder.cpp:151-216), so the batch
+        shards across the mesh with no collectives; outputs are identical
+        to the single-chip program per frame.
     """
 
     def __init__(
@@ -79,11 +84,44 @@ class Decoder:
         cfg: DecoderConfig,
         header: bitstream.Header,
         batch_size: int = 8,
+        mesh=None,
     ):
         self.cfg = cfg
         self.header = header
         self.batch_size = batch_size
-        self._decode_batch = jax.jit(self._build_decode_batch())
+        fn = self._build_decode_batch()
+        if mesh is None:
+            self._decode_batch = jax.jit(fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from svc_tpu.parallel.sharding import FRAME_AXIS
+
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch size {batch_size} must divide across "
+                    f"{mesh.devices.size} devices"
+                )
+            spec = P(FRAME_AXIS)
+            sharded = jax.jit(
+                jax.shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(spec, spec, spec),
+                    out_specs=spec,
+                    check_vma=False,
+                )
+            )
+            sharding = NamedSharding(mesh, spec)
+
+            def decode_sharded(coeffs, btypes, rects):
+                return sharded(
+                    jax.device_put(coeffs, sharding),
+                    jax.device_put(btypes, sharding),
+                    jax.device_put(rects, sharding),
+                )
+
+            self._decode_batch = decode_sharded
 
     def _build_decode_batch(self):
         cfg = self.cfg

@@ -149,3 +149,94 @@ class TestShardedCLI:
         sharded = run(["--devices", "2"])
         assert len(single) > 32
         assert sharded == single
+
+
+class TestShardedDecoder:
+    """Decode is frame-data-parallel: a mesh-sharded Decoder must produce
+    bitwise-identical frames, and the CLI --devices path must match the
+    single-device decode byte for byte."""
+
+    def test_sharded_decode_bitwise(self, mesh):
+        import jax.numpy as jnp
+
+        from svc_tpu.config import DecoderConfig
+        from svc_tpu.io import bitstream
+        from svc_tpu.models.decoder import Decoder
+
+        t, h, w = 8, 48, 64
+        hd = bitstream.Header(
+            frame_count=t, frame_w=w, frame_h=h,
+            frame_excess_w=0, frame_excess_h=0,
+            transform_block_w=8, transform_block_h=8, channel_count=3,
+        )
+        rng = np.random.default_rng(5)
+        coeffs = jnp.asarray(
+            rng.normal(size=(t, h // 8, w // 8, 192)).astype(np.float32) * 30
+        )
+        btypes = jnp.asarray(
+            rng.integers(0, 4, (t, h // 8, w // 8), np.uint32)
+        )
+        rects = jnp.asarray(
+            np.tile(np.array([[8, 8, 16, 16]], np.int32), (t, 1))
+        )
+        single = Decoder(DecoderConfig(), hd, batch_size=t)
+        sharded = Decoder(DecoderConfig(), hd, batch_size=t, mesh=mesh)
+        a = np.asarray(single._decode_batch(coeffs, btypes, rects))
+        b = np.asarray(sharded._decode_batch(coeffs, btypes, rects))
+        np.testing.assert_array_equal(a, b)
+
+    def test_sharded_decoder_batch_mismatch_raises(self, mesh):
+        from svc_tpu.config import DecoderConfig
+        from svc_tpu.io import bitstream
+        from svc_tpu.models.decoder import Decoder
+
+        hd = bitstream.Header(
+            frame_count=4, frame_w=64, frame_h=48,
+            frame_excess_w=0, frame_excess_h=0,
+            transform_block_w=8, transform_block_h=8, channel_count=3,
+        )
+        with pytest.raises(ValueError):
+            Decoder(DecoderConfig(), hd, batch_size=9, mesh=mesh)
+
+    def test_cli_shard_decode_byte_identical(self, tmp_path):
+        import os
+        import subprocess
+        import sys as _sys
+
+        from svc_tpu.io.video import write_raw_avi
+
+        clip = _frames(7, h=48, w=64)
+        avi = str(tmp_path / "clip.avi")
+        write_raw_avi(avi, clip)
+
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=(
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip(),
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        stream = subprocess.run(
+            [_sys.executable, "-m", "svc_tpu.apps.encoder_app",
+             "--mv-block-w", "8", "--mv-block-h", "8",
+             "--mv-search-range", "4", "--pyr-lvl-count", "2",
+             "--kmeans-cluster-count", "3", "--batch-size", "2", avi],
+            capture_output=True, check=True, env=env, cwd=repo,
+        ).stdout
+
+        def run_decode(extra, name):
+            out = str(tmp_path / name)
+            subprocess.run(
+                [_sys.executable, "-m", "svc_tpu.apps.decoder_app",
+                 "--batch-size", "2", "--output", out] + extra,
+                input=stream, capture_output=True, check=True, env=env,
+                cwd=repo,
+            )
+            return np.load(out)
+
+        single = run_decode([], "single.npy")
+        sharded = run_decode(["--devices", "2"], "sharded.npy")
+        np.testing.assert_array_equal(single, sharded)
