@@ -1,10 +1,11 @@
 """Pallas kernel parity tests (interpret mode on CPU).
 
-Two TPU kernels exist: the candidate-SAD search (ops/motion_pallas.py) and
-the fused pyrDown (ops/pyramid_pallas.py). Both are verified bit-exact
-against their XLA/NumPy counterparts here; on real hardware the pyramid
-kernel is in the production path (the SAD kernel is gated behind the
-toolchain's dynamic-addressing support — see module docstrings).
+Production kernels (fused refine, wire-DCT, Lloyd, pyrDown) are verified
+bit-exact against XLA counterparts here and in test_dct.py /
+test_segmentation_ops.py; the golden suite (test_golden_reference.py)
+additionally pins the refine kernels against the unmodified C++
+reference. The dynamic-addressing candidate-SAD kernel stays gated off
+on this toolchain (see ops/motion_pallas.py) but keeps its parity test.
 """
 
 import numpy as np
@@ -109,3 +110,50 @@ class TestCandidateSadsPallas:
                                 t_, (oy + r) * side + (ox + r), i, j
                             ]
                             assert got == ref
+
+
+class TestTwoStageRefineKernel:
+    """The two-stage coarse/fine select variant of the fused refine kernel
+    must be bit-exact vs the linear-chain variant on the same inputs
+    (interpret mode; both integer arithmetic throughout)."""
+
+    @pytest.mark.parametrize("bound_in", [8, 14, 20])
+    def test_two_stage_matches_linear(self, bound_in):
+        import functools
+
+        import jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from svc_tpu.ops import motion_pallas as mp
+
+        assert mp._two_stage_ok(bound_in)
+        r, bw, bh = 1, 8, 8
+        fh, fw = 64, 1024  # mfw = 128
+        rng = np.random.default_rng(bound_in)
+        tracked = jnp.asarray(
+            rng.integers(0, 256, (fh, fw), dtype=np.uint8)
+        )
+        anchor = jnp.asarray(
+            rng.integers(0, 256, (fh, fw), dtype=np.uint8)
+        )
+        mfh, mfw = fh // bh, fw // bw
+        mv = rng.integers(-bound_in // 2, bound_in // 2 + 1, (mfh, 1, mfw)) * 2
+        mv_yx = jnp.asarray(
+            np.stack([mv, np.roll(mv, 1, axis=0)], axis=1), jnp.int32
+        )
+
+        two = mp.refine_mads_pallas(
+            tracked, anchor, mv_yx, r, bound_in, bw, bh
+        )
+
+        # force the linear kernel by monkeypatching the gate
+        orig = mp._two_stage_ok
+        mp._two_stage_ok = lambda b: False
+        try:
+            lin = mp.refine_mads_pallas(
+                tracked, anchor, mv_yx, r, bound_in, bw, bh
+            )
+        finally:
+            mp._two_stage_ok = orig
+        np.testing.assert_array_equal(np.asarray(two), np.asarray(lin))
