@@ -64,8 +64,10 @@ def resize_bilinear(
         i1 = np.clip(i0 + 1, 0, in_n - 1)
         # an identity axis (all-zero fractions, e.g. a padded width that
         # equals the output) lets callers skip the second gather and the
-        # blend — multiplying by exact 0/1 weights is bit-identical
-        return i0, i1, jnp.asarray(frac), bool((frac == 0).all())
+        # blend — multiplying by exact 0/1 weights is bit-identical.
+        # fracs stay host-side numpy: gate decisions need concrete values
+        # even while tracing (jnp constants stage as tracers under jit)
+        return i0, i1, frac, bool((frac == 0).all())
 
     y0, y1, fy, y_ident = axis_weights(out_h, h)
     x0, x1, fx, x_ident = axis_weights(out_w, w)
@@ -82,10 +84,29 @@ def resize_bilinear(
         # through the (j, x) pair of each spatial source column
         j0, b0 = col_map[0][x0], col_map[1][x0]
         j1, b1 = col_map[0][x1], col_map[1][x1]
-        mid0 = blend(
-            lambda: img[..., y0, :, :], lambda: img[..., y1, :, :],
-            fy, y_ident, (-1, 1, 1),
-        )  # (..., out_h, bw, nbx)
+        from svc_tpu.ops.resize_pallas import (
+            resize_rows_pallas,
+            rows_pallas_supported,
+        )
+
+        rows_kernel_ok = (
+            not y_ident
+            and img.ndim == 4
+            and rows_pallas_supported(
+                y0, y1, fy, h, img.shape[-2] * img.shape[-1]
+            )
+        )
+        if rows_kernel_ok:
+            # fused gather+lerp row kernel: the XLA lowering spends
+            # ~6 ms/batch on two full-tensor row gathers plus the blend
+            # at 1080p (same lerp expression; FMA contraction may differ
+            # by ~1e-5 — see ops/resize_pallas.py)
+            mid0 = resize_rows_pallas(img, y0, y1, fy)
+        else:
+            mid0 = blend(
+                lambda: img[..., y0, :, :], lambda: img[..., y1, :, :],
+                fy, y_ident, (-1, 1, 1),
+            )  # (..., out_h, bw, nbx)
         return blend(
             lambda: mid0[..., j0, b0], lambda: mid0[..., j1, b1],
             fx, x_ident, (-1,),

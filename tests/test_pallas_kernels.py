@@ -157,3 +157,47 @@ class TestTwoStageRefineKernel:
         finally:
             mp._two_stage_ok = orig
         np.testing.assert_array_equal(np.asarray(two), np.asarray(lin))
+
+
+class TestResizeRowsPallas:
+    """Fused row-resample kernel vs the XLA gather+lerp path. Same lerp
+    expression; FMA contraction may differ, so the gate is 1e-4 absolute
+    (the golden decoder gate is 2.5e-4)."""
+
+    def test_gate_rejects_steep_downscale(self):
+        from svc_tpu.ops.resize_pallas import rows_pallas_supported
+
+        h, out_h = 136, 100  # shifts reach 36 — too deep for the unroll
+        src = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+        y0 = np.clip(np.floor(src).astype(np.int32), 0, h - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        f = (src - np.floor(src)).astype(np.float32)
+        assert not rows_pallas_supported(y0, y1, f, h, 8 * 30)
+
+    @pytest.mark.parametrize("out_h", [131, 126, 135])
+    def test_matches_xla_rows(self, out_h):
+        from svc_tpu.ops.resize_pallas import (
+            resize_rows_pallas,
+            rows_pallas_supported,
+        )
+
+        rng = np.random.default_rng(out_h)
+        img = jnp.asarray(
+            rng.normal(size=(3, 136, 8, 30)).astype(np.float32) * 60
+        )
+        h = img.shape[1]
+        src = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+        y0 = np.floor(src).astype(np.int32)
+        f = (src - y0).astype(np.float32)
+        f = np.where(y0 < 0, 0, f)
+        f = np.where(y0 >= h - 1, 0, f).astype(np.float32)
+        y0 = np.clip(y0, 0, h - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        assert rows_pallas_supported(y0, y1, f, h, 8 * 30)
+        got = np.asarray(resize_rows_pallas(img, y0, y1, f))
+        a = np.asarray(img)
+        exp = (
+            a[:, y0] * (1 - f)[None, :, None, None]
+            + a[:, y1] * f[None, :, None, None]
+        )
+        np.testing.assert_allclose(got, exp, atol=1e-4, rtol=0)
