@@ -127,12 +127,20 @@ def main():
     import jax.numpy as jnp
 
     dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)
-    coeffs = out["coeffs"]
-    # expand MV-grid types to the transform-block grid (wire layout)
-    ry = cfg.mv_block_h // cfg.transform_block_h
-    rx = cfg.mv_block_w // cfg.transform_block_w
-    btypes = jnp.repeat(
-        jnp.repeat(out["block_types"], ry, axis=1), rx, axis=2
+    # synthetic wire-layout inputs staged fresh on device: decode cost is
+    # content-independent (every op is dense), and feeding the encoder's
+    # live output buffers here intermittently trips the tunneled
+    # backend's layout handling after the long encode run
+    hdr = enc.header()
+    nby = hdr.padded_frame_h // cfg.transform_block_h
+    nbx = hdr.padded_frame_w // cfg.transform_block_w
+    drng = np.random.default_rng(1)
+    coeffs = jax.device_put(
+        (drng.normal(size=(t, nby, nbx, 3 * 64)) * 50).astype(np.float32),
+        dev,
+    )
+    btypes = jax.device_put(
+        drng.integers(0, 4, (t, nby, nbx)).astype(np.uint32), dev
     )
     rects = jax.device_put(
         np.tile(np.array([600, 400, 128, 128], np.int32), (t, 1)), dev
