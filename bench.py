@@ -135,8 +135,9 @@ def main():
     nby = hdr.padded_frame_h // cfg.transform_block_h
     nbx = hdr.padded_frame_w // cfg.transform_block_w
     drng = np.random.default_rng(1)
+    payload = 3 * cfg.transform_block_h * cfg.transform_block_w
     coeffs = jax.device_put(
-        (drng.normal(size=(t, nby, nbx, 3 * 64)) * 50).astype(np.float32),
+        (drng.normal(size=(t, nby, nbx, payload)) * 50).astype(np.float32),
         dev,
     )
     btypes = jax.device_put(

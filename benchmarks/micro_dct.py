@@ -1,10 +1,10 @@
 """Microbenchmark: wire-DCT Pallas kernel variants at bench shapes.
 
-The production kernel's stage dots are (M=720, K=64, N=64) — a 128x128 MXU
-runs them at 1/4 utilization. Pairing two block rows per dot with
-block-diagonal stage weights diag(W, W) makes K=N=128 at identical
-summation structure (interleaved exact zeros), so results must be
-BIT-IDENTICAL while halving MXU passes.
+The production kernel pairs two block rows per dot (diag(W, W) stage
+weights, K = N = 128 — shipped after this benchmark showed 1.36x). The
+remaining variant here merges all pairs of a grid step into ONE dot
+chain; measured ~4% SLOWER than the shipped per-pair loop, kept as the
+recorded negative result.
 """
 
 import functools
@@ -20,104 +20,10 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo")
 
 from svc_tpu.ops.dct_pallas import (  # noqa: E402
+    _pair_stage_weights,
     _rows_per_step,
-    _stage1_bf16_terms,
-    _wire_stage_weights,
     dct2_planes_to_wire_pallas,
 )
-
-
-def _pair_weights(block_w, block_h):
-    w1, w2 = _wire_stage_weights(block_w, block_h)
-    z = np.zeros_like(w1)
-    w1p = np.block([[w1, z], [z, w1]])
-    w2p = np.block([[w2, z], [z, w2]])
-    t1 = _stage1_bf16_terms(block_w, block_h)
-    zb = np.zeros_like(t1[0])
-    t1p = tuple(np.block([[t, zb], [zb, t]]) for t in t1)
-    return t1p, w2p
-
-
-def _make_pair_kernel(channels, pairs_per_step, n, nbx):
-    def kernel(*refs):
-        m1_refs = refs[0:3]
-        m2_ref = refs[3]
-        plane_refs = refs[4 : 4 + channels]
-        o_ref = refs[4 + channels]
-        m1_terms = [r[...] for r in m1_refs]
-        m2 = m2_ref[...]
-        for u in range(pairs_per_step):
-            # two block rows stacked on sublanes -> K = 2n = 128
-            x = jnp.concatenate(
-                [
-                    jnp.concatenate(
-                        [
-                            ref[0, 0, 2 * u + v].reshape(n, nbx)
-                            for ref in plane_refs
-                        ],
-                        axis=1,
-                    )
-                    for v in (0, 1)
-                ],
-                axis=0,
-            )  # (2n, C*nbx)
-            xb = x.astype(jnp.int32).astype(jnp.bfloat16)
-            a = None
-            for m in m1_terms:
-                p = jax.lax.dot_general(
-                    xb, m, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                a = p if a is None else a + p  # (C*nbx, 2n)
-            z = jax.lax.dot_general(
-                a, m2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (C*nbx, 2n)
-            zc = z.reshape(channels, nbx, 2 * n)
-            for v in (0, 1):
-                o_ref[0, 2 * u + v] = jnp.concatenate(
-                    [zc[c, :, v * n : (v + 1) * n] for c in range(channels)],
-                    axis=1,
-                )
-
-    return kernel
-
-
-def dct2_pair_pallas(planes, block_w, block_h):
-    c, t, h, w = planes.shape
-    nby, nbx = h // block_h, w // block_w
-    n = block_h * block_w
-    r = _rows_per_step(nby)
-    assert r % 2 == 0, "pair variant needs even rows-per-step"
-
-    p = planes.reshape(c, t, h, nbx, block_w)
-    p = jnp.swapaxes(p, -1, -2)
-    p5 = p.reshape(c, t, nby, block_h, block_w, nbx)
-
-    t1p, w2p = _pair_weights(block_w, block_h)
-    mspec = pl.BlockSpec(
-        (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
-    )
-    pspecs = [
-        pl.BlockSpec(
-            (1, 1, r, block_h, block_w, nbx),
-            functools.partial(lambda ci, ti, yi: (ci, ti, yi, 0, 0, 0), ci),
-            memory_space=pltpu.VMEM,
-        )
-        for ci in range(c)
-    ]
-    return pl.pallas_call(
-        _make_pair_kernel(c, r // 2, n, nbx),
-        grid=(t, nby // r),
-        in_specs=[mspec] * 4 + pspecs,
-        out_specs=pl.BlockSpec(
-            (1, r, nbx, c * n), lambda ti, yi: (ti, yi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((t, nby, nbx, c * n), jnp.float32),
-        interpret=(jax.default_backend() == "cpu"),
-    )(*[jnp.asarray(m) for m in t1p], jnp.asarray(w2p), *([p5] * c))
 
 
 def _make_merged_kernel(channels, pairs, n, nbx):
@@ -187,7 +93,7 @@ def dct2_merged_pallas(planes, block_w, block_h):
     p = jnp.swapaxes(p, -1, -2)
     p5 = p.reshape(c, t, nby, block_h, block_w, nbx)
 
-    t1p, w2p = _pair_weights(block_w, block_h)
+    t1p, w2p = _pair_stage_weights(block_w, block_h)
     mspec = pl.BlockSpec(
         (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
     )

@@ -1,9 +1,22 @@
 """Microbenchmark: fused refine kernel variants at the 1080p bench shapes.
 
-Times ``refine_mads_pallas`` (production) against candidate restructurings
-on the real TPU, checking bit-exactness against the production kernel
-before timing. Shapes mirror bench.py's encode step: 16 frames, padded
-1088x1920 luma, 3 HBMA refine levels (r=1; bound_in = 14 / 6 / 2).
+Times the production ``refine_mads_pallas`` against candidate
+restructurings on the real TPU, checking bit-exactness first. Variants
+explored during round 2 (results in the commit log / ARCHITECTURE.md):
+
+* binary-decomposed select chains — no win (select work shrinks only
+  ~1.3x at the production bound of 14 and Mosaic scratch round-trips eat
+  the rest); superseded by the two-stage coarse/fine decomposition that
+  now ships in ops/motion_pallas.py (bit-exact, 2.96 -> 1.85 ms/batch).
+* two block rows per grid program — bit-exact but identical runtime
+  (the kernel is compute-bound, not program-launch-bound).
+* block-transposed pure-XLA path (kept below) — wins at no level: the
+  duplicated halo layout costs ~5x the kernel's HBM traffic at the base
+  level, and the small levels are already cheap in the fused kernel.
+
+Wall-clock numbers here are pipelined-dispatch throughput; use
+device-time traces (benchmarks/profile_encode.py style) for attribution
+— wall numbers lie by 3-8x on the tunneled dev chip.
 """
 
 import functools
@@ -13,497 +26,13 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 
 from svc_tpu.ops.motion_pallas import refine_mads_pallas  # noqa: E402
 
-
 # ---------------------------------------------------------------------------
-# Variant A: binary-decomposed select chains (log2(bound) ping-pong stages
-# instead of a linear masked-select chain per axis)
-# ---------------------------------------------------------------------------
-
-
-def _stage_plan(bound_k: int):
-    """Per-bit output extents for remaining shift budget ``bound_k`` (in
-    units of 2 pixels). Returns [(bit, r_post), ...] high bit first."""
-    plan = []
-    r_pre = bound_k
-    for i in range(max(bound_k.bit_length(), 1) - 1, -1, -1):
-        r_post = min(r_pre, max((1 << i) - 1, r_pre - (1 << i)))
-        plan.append((i, r_post))
-        r_pre = r_post
-    return plan
-
-
-def _make_binary_refine_kernel(
-    r: int, bound_in: int, pad: int, bh: int, bw: int, n_tiles: int, cw: int
-):
-    wh, ww = bh + 2 * r, bw + 2 * r
-    bound_k = bound_in // 2  # mv is even; k = (mv + bound) / 2 in [0, 2*bound_k]
-    plan = _stage_plan(bound_in // 2)
-
-    def kernel(*refs):
-        views = refs[:n_tiles]
-        a_ref, m_ref, o_ref, cells_scr, pp_a, pp_b = refs[n_tiles:]
-
-        for t in range(n_tiles):
-            cells_scr[t * bh : (t + 1) * bh, :, :] = views[t][0]
-
-        mvy = m_ref[0, 0:1, :, :]  # (1, 1, mfw) int32
-        mvx = m_ref[0, 1:2, :, :]
-        ky = (mvy + bound_in) >> 1
-        kx = (mvx + bound_in) >> 1
-
-        # rows: win[y] = cells[y + 2*ky] realized as binary shift stages
-        bufs = [pp_a, pp_b]
-        cur, cur_h = cells_scr, n_tiles * bh
-        h_out = wh
-        for si, (bit, r_post) in enumerate(plan):
-            h_out = wh + 2 * r_post
-            sh = 2 << bit  # row shift when this bit of ky is set
-            dst = bufs[si % 2]
-            take = (ky >> bit) & 1
-            dst[0:h_out, 0:cw, :] = jnp.where(
-                take == 1, cur[sh : sh + h_out, 0:cw, :], cur[0:h_out, 0:cw, :]
-            )
-            cur, cur_h = dst, h_out
-        win_buf = cur
-
-        # cols: out[x] = win[:, x + 2*kx]; same stages on the lane-adjacent
-        # axis. Buffers are wide enough that over-reads stay in-bounds
-        # (over-read values are never selected into used positions).
-        for si, (bit, r_post) in enumerate(plan):
-            w_out = ww + 2 * r_post
-            sh = 2 << bit
-            dst = bufs[(si + len(plan)) % 2]
-            take = (kx >> bit) & 1
-            dst[0:wh, 0:w_out, :] = jnp.where(
-                take == 1,
-                win_buf[0:wh, sh : sh + w_out, :],
-                win_buf[0:wh, 0:w_out, :],
-            )
-            win_buf = dst
-        out = win_buf[0:wh, 0:ww, :]
-
-        a = a_ref[0].astype(jnp.int32)
-        o_ref[...] = jnp.zeros_like(o_ref)
-        i = 0
-        for oy in range(2 * r + 1):
-            for ox in range(2 * r + 1):
-                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
-                sad = jnp.sum(jnp.abs(cand - a), axis=(0, 1))
-                o_ref[0, i : i + 1, :] = sad[None, :]
-                i += 1
-
-    return kernel
-
-
-def refine_mads_binary(
-    tracked, anchor, mv_yx, r, bound_in, block_w, block_h
-):
-    fh, fw = tracked.shape
-    mfh, mfw = fh // block_h, fw // block_w
-    pad = bound_in + r
-    ch = block_h + 2 * pad
-    cw = block_w + 2 * pad
-    wh = block_h + 2 * r
-    ncand = (2 * r + 1) ** 2
-    rows_out = ((ncand + 7) // 8) * 8
-
-    # cells must cover the largest stage read: h_out(top) + 2*2^top
-    plan = _stage_plan(bound_in // 2)
-    top_bit, top_rpost = plan[0]
-    read_h = wh + 2 * top_rpost + (2 << top_bit)
-    n_tiles = -(-max(ch, read_h) // block_h)
-    buf_h = max(wh + 2 * p for _, p in plan)
-    buf_w = max(cw, max(ww_ for ww_ in (
-        block_w + 2 * r + 2 * p + (2 << b) for b, p in plan
-    )))
-
-    rows_p = (mfh - 1 + n_tiles) * block_h
-    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
-    tp = jnp.pad(
-        tracked,
-        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
-    )
-    parts = [
-        jnp.swapaxes(
-            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
-            -1,
-            -2,
-        )
-        for c0 in range(0, cw, block_w)
-    ]
-    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
-    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
-
-    anchor_p = jnp.swapaxes(
-        anchor.reshape(fh, mfw, block_w), -1, -2
-    ).reshape(mfh, block_h, block_w, mfw)
-
-    kernel = _make_binary_refine_kernel(
-        r, bound_in, pad, block_h, block_w, n_tiles, cw
-    )
-    tile_specs = [
-        pl.BlockSpec(
-            (1, block_h, cw, mfw),
-            functools.partial(lambda d, i: (i + d, 0, 0, 0), d),
-            memory_space=pltpu.VMEM,
-        )
-        for d in range(n_tiles)
-    ]
-    return pl.pallas_call(
-        kernel,
-        grid=(mfh,),
-        in_specs=tile_specs
-        + [
-            pl.BlockSpec(
-                (1, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 2, 1, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rows_out, mfw), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((n_tiles * block_h, cw, mfw), jnp.uint8),
-            pltpu.VMEM((buf_h, buf_w, mfw), jnp.uint8),
-            pltpu.VMEM((buf_h, buf_w, mfw), jnp.uint8),
-        ],
-        interpret=(jax.default_backend() == "cpu"),
-    )(*([tiles] * n_tiles), anchor_p, mv_yx)
-
-
-# ---------------------------------------------------------------------------
-# Variant C: two-stage coarse/fine selects inside the fused kernel — the
-# select_windows decomposition (ops/motion.py) brought into Pallas. Coarse
-# slices are assembled straight from the tile refs (no cells scratch).
-# ---------------------------------------------------------------------------
-
-
-def _make_two_stage_kernel(r, bound_in, pad, bh, bw, n_tiles, cw):
-    wh, ww = bh + 2 * r, bw + 2 * r
-    amax = bound_in - 2
-    coarse = list(range(-amax, amax + 1, 6))
-    fine = (-2, 0, 2)
-
-    def kernel(*refs):
-        views = refs[:n_tiles]
-        a_ref, m_ref, o_ref, rc_scr, rf_scr, cc_scr = refs[n_tiles:]
-        mvy = m_ref[0, 0:1, :, :]  # (1, 1, mfw) int32
-        mvx = m_ref[0, 1:2, :, :]
-
-        def coarse_of(mv):
-            # round(mv/6)*6 for even mv (never exactly half), clipped
-            mag = (jnp.abs(mv) + 3) // 6 * 6
-            return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
-
-        ay = coarse_of(mvy)
-        ax = coarse_of(mvx)
-        fy = mvy - ay  # in {-2, 0, 2}
-        fx = mvx - ax
-
-        def row_range(lo, size):
-            pieces = []
-            off = lo
-            while off < lo + size:
-                t = off // bh
-                take = min((t + 1) * bh, lo + size) - off
-                pieces.append(views[t][0, off - t * bh : off - t * bh + take])
-                off += take
-            if len(pieces) == 1:
-                return pieces[0]
-            return jnp.concatenate(pieces, axis=0)
-
-        inter = None
-        for a in coarse:
-            sl = row_range(pad + a - 2 - r, wh + 4)
-            inter = sl if inter is None else jnp.where(ay == a, sl, inter)
-        rc_scr[...] = inter
-
-        rc = rc_scr[...]
-        winf = None
-        for f_ in fine:
-            sl = rc[2 + f_ : 2 + f_ + wh, :, :]
-            winf = sl if winf is None else jnp.where(fy == f_, sl, winf)
-        rf_scr[...] = winf
-
-        rf = rf_scr[...]
-        cinter = None
-        for a in coarse:
-            sl = rf[:, pad + a - 2 - r : pad + a - 2 - r + ww + 4, :]
-            cinter = sl if cinter is None else jnp.where(ax == a, sl, cinter)
-        cc_scr[...] = cinter
-
-        cc = cc_scr[...]
-        out = None
-        for f_ in fine:
-            sl = cc[:, 2 + f_ : 2 + f_ + ww, :]
-            out = sl if out is None else jnp.where(fx == f_, sl, out)
-
-        a_blk = a_ref[0].astype(jnp.int32)
-        o_ref[...] = jnp.zeros_like(o_ref)
-        i = 0
-        for oy in range(2 * r + 1):
-            for ox in range(2 * r + 1):
-                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
-                sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
-                o_ref[0, i : i + 1, :] = sad[None, :]
-                i += 1
-
-    return kernel
-
-
-def refine_mads_two_stage(tracked, anchor, mv_yx, r, bound_in, block_w, block_h):
-    fh, fw = tracked.shape
-    mfh, mfw = fh // block_h, fw // block_w
-    pad = bound_in + r
-    ch = block_h + 2 * pad
-    cw = block_w + 2 * pad
-    wh, ww = block_h + 2 * r, block_w + 2 * r
-    ncand = (2 * r + 1) ** 2
-    rows_out = ((ncand + 7) // 8) * 8
-    n_tiles = -(-ch // block_h)
-
-    rows_p = (mfh - 1 + n_tiles) * block_h
-    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
-    tp = jnp.pad(
-        tracked,
-        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
-    )
-    parts = [
-        jnp.swapaxes(
-            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
-            -1,
-            -2,
-        )
-        for c0 in range(0, cw, block_w)
-    ]
-    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
-    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
-    anchor_p = jnp.swapaxes(
-        anchor.reshape(fh, mfw, block_w), -1, -2
-    ).reshape(mfh, block_h, block_w, mfw)
-
-    kernel = _make_two_stage_kernel(
-        r, bound_in, pad, block_h, block_w, n_tiles, cw
-    )
-    tile_specs = [
-        pl.BlockSpec(
-            (1, block_h, cw, mfw),
-            functools.partial(lambda d, i: (i + d, 0, 0, 0), d),
-            memory_space=pltpu.VMEM,
-        )
-        for d in range(n_tiles)
-    ]
-    return pl.pallas_call(
-        kernel,
-        grid=(mfh,),
-        in_specs=tile_specs
-        + [
-            pl.BlockSpec(
-                (1, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 2, 1, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rows_out, mfw), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((wh + 4, cw, mfw), jnp.uint8),
-            pltpu.VMEM((wh, cw, mfw), jnp.uint8),
-            pltpu.VMEM((wh, ww + 4, mfw), jnp.uint8),
-        ],
-        interpret=(jax.default_backend() == "cpu"),
-    )(*([tiles] * n_tiles), anchor_p, mv_yx)
-
-
-# ---------------------------------------------------------------------------
-# Variant D: two-stage kernel, two block rows per grid program — halves
-# program count and shares tile DMAs between the paired rows.
-# ---------------------------------------------------------------------------
-
-
-def _make_two_stage_x2_kernel(r, bound_in, pad, bh, bw, n_tiles, cw):
-    wh, ww = bh + 2 * r, bw + 2 * r
-    amax = bound_in - 2
-    coarse = list(range(-amax, amax + 1, 6))
-    fine = (-2, 0, 2)
-    nv = n_tiles + 1  # tile views covering two consecutive block rows
-
-    def kernel(*refs):
-        views = refs[:nv]
-        a_ref, m_ref, o_ref, rc_scr, rf_scr, cc_scr = refs[nv:]
-
-        def coarse_of(mv):
-            mag = (jnp.abs(mv) + 3) // 6 * 6
-            return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
-
-        def row_range(base, lo, size):
-            pieces = []
-            off = base + lo
-            while off < base + lo + size:
-                t = off // bh
-                take = min((t + 1) * bh, base + lo + size) - off
-                pieces.append(
-                    views[t][0, off - t * bh : off - t * bh + take]
-                )
-                off += take
-            if len(pieces) == 1:
-                return pieces[0]
-            return jnp.concatenate(pieces, axis=0)
-
-        for half in (0, 1):
-            mvy = m_ref[half, 0:1, :, :]
-            mvx = m_ref[half, 1:2, :, :]
-            ay, ax = coarse_of(mvy), coarse_of(mvx)
-            fy, fx = mvy - ay, mvx - ax
-
-            inter = None
-            for a in coarse:
-                sl = row_range(half * bh, pad + a - 2 - r, wh + 4)
-                inter = sl if inter is None else jnp.where(
-                    ay == a, sl, inter
-                )
-            rc_scr[...] = inter
-
-            rc = rc_scr[...]
-            winf = None
-            for f_ in fine:
-                sl = rc[2 + f_ : 2 + f_ + wh, :, :]
-                winf = sl if winf is None else jnp.where(
-                    fy == f_, sl, winf
-                )
-            rf_scr[...] = winf
-
-            rf = rf_scr[...]
-            cinter = None
-            for a in coarse:
-                sl = rf[:, pad + a - 2 - r : pad + a - 2 - r + ww + 4, :]
-                cinter = sl if cinter is None else jnp.where(
-                    ax == a, sl, cinter
-                )
-            cc_scr[...] = cinter
-
-            cc = cc_scr[...]
-            out = None
-            for f_ in fine:
-                sl = cc[:, 2 + f_ : 2 + f_ + ww, :]
-                out = sl if out is None else jnp.where(fx == f_, sl, out)
-
-            a_blk = a_ref[half].astype(jnp.int32)
-            i = 0
-            for oy in range(2 * r + 1):
-                for ox in range(2 * r + 1):
-                    cand = out[oy : oy + bh, ox : ox + bw, :].astype(
-                        jnp.int32
-                    )
-                    sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
-                    o_ref[half, i : i + 1, :] = sad[None, :]
-                    i += 1
-            ncand = (2 * r + 1) ** 2
-            for i in range(ncand, o_ref.shape[1]):
-                o_ref[half, i : i + 1, :] = jnp.zeros(
-                    (1, o_ref.shape[2]), jnp.int32
-                )
-
-    return kernel
-
-
-def refine_mads_two_stage_x2(
-    tracked, anchor, mv_yx, r, bound_in, block_w, block_h
-):
-    fh, fw = tracked.shape
-    mfh, mfw = fh // block_h, fw // block_w
-    assert mfh % 2 == 0
-    pad = bound_in + r
-    ch = block_h + 2 * pad
-    cw = block_w + 2 * pad
-    wh = block_h + 2 * r
-    ww = block_w + 2 * r
-    ncand = (2 * r + 1) ** 2
-    rows_out = ((ncand + 7) // 8) * 8
-    n_tiles = -(-ch // block_h)
-    nv = n_tiles + 1
-
-    rows_p = (mfh - 1 + nv) * block_h
-    width_needed = (cw - 1) // block_w * block_w + mfw * block_w
-    tp = jnp.pad(
-        tracked,
-        ((pad, rows_p - fh - pad), (pad, width_needed - fw - pad)),
-    )
-    parts = [
-        jnp.swapaxes(
-            tp[:, c0 : c0 + mfw * block_w].reshape(rows_p, mfw, block_w),
-            -1,
-            -2,
-        )
-        for c0 in range(0, cw, block_w)
-    ]
-    cells_p = jnp.concatenate(parts, axis=1)[:, :cw, :]
-    tiles = cells_p.reshape(rows_p // block_h, block_h, cw, mfw)
-    anchor_p = jnp.swapaxes(
-        anchor.reshape(fh, mfw, block_w), -1, -2
-    ).reshape(mfh, block_h, block_w, mfw)
-
-    kernel = _make_two_stage_x2_kernel(
-        r, bound_in, pad, block_h, block_w, n_tiles, cw
-    )
-    tile_specs = [
-        pl.BlockSpec(
-            (1, block_h, cw, mfw),
-            functools.partial(lambda d, i: (2 * i + d, 0, 0, 0), d),
-            memory_space=pltpu.VMEM,
-        )
-        for d in range(nv)
-    ]
-    out = pl.pallas_call(
-        kernel,
-        grid=(mfh // 2,),
-        in_specs=tile_specs
-        + [
-            pl.BlockSpec(
-                (2, block_h, block_w, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (2, 2, 1, mfw), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (2, rows_out, mfw), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((mfh, rows_out, mfw), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((wh + 4, cw, mfw), jnp.uint8),
-            pltpu.VMEM((wh, cw, mfw), jnp.uint8),
-            pltpu.VMEM((wh, ww + 4, mfw), jnp.uint8),
-        ],
-        interpret=(jax.default_backend() == "cpu"),
-    )(*([tiles] * nv), anchor_p, mv_yx)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Variant B: block-transposed pure-XLA path — cells (ch, cw, mfh, mfw) put
+# Block-transposed pure-XLA path — cells (ch, cw, mfh, mfw) put
 # the BLOCK indices on the vreg dims, so every masked select and SAD touches
 # fat (mfh x mfw) tiles instead of per-program (ch x cw) slivers.
 # ---------------------------------------------------------------------------

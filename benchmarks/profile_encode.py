@@ -65,8 +65,10 @@ def main():
     # op-name -> source metadata from the same compiled executable
     meta = {}
     try:
+        # reuse the Encoder's already-compiled jit (a fresh jax.jit here
+        # would retrace and recompile the whole encode program)
         txt = (
-            jax.jit(enc.encode_batch_fn, **enc._layout_pins())
+            enc._encode_batch
             .lower(jax.ShapeDtypeStruct(packed.shape, np.uint8), keys)
             .compile()
             .as_text()

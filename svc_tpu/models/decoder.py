@@ -32,6 +32,7 @@ import numpy as np
 
 from svc_tpu.config import DecoderConfig
 from svc_tpu.io import bitstream
+from svc_tpu.ops import interleave
 from svc_tpu.ops.dct import idct2_wire_to_planes_pitched
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
@@ -179,27 +180,11 @@ class Decoder:
             # on device (a trailing C=3 axis tile-pads to 128 lanes); the
             # host views the packed rows as (H, W, C) for free
             wch = h.frame_w * channels
-            if h.frame_w % 128 == 0:
-                # selection-matmul interleave (inverse of the encoder's
-                # de-interleave): out lane group 3*128 gathers one exact
-                # bf16 product per output from the C plane chunks
-                sel = np.zeros((channels, 128, channels * 128), np.float32)
-                for ci in range(channels):
-                    sel[ci, np.arange(128), channels * np.arange(128) + ci] = 1.0
-                x = planes.reshape(
-                    planes.shape[0], channels, h.frame_h, h.frame_w // 128, 128
-                )
-                packed = (
-                    jnp.einsum(
-                        "tchgi,cio->thgo",
-                        x.astype(jnp.bfloat16),
-                        jnp.asarray(sel, jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                    .astype(jnp.uint8)
-                    .reshape(planes.shape[0], h.frame_h, wch)
-                )
-                return packed
+            if interleave.lane_aligned(h.frame_w):
+                # selection-matmul interleave (ops/interleave.py, the
+                # inverse of the encoder's de-interleave): one exact bf16
+                # product per packed byte
+                return interleave.interleave_rows(planes)
             lane_mod = (
                 jnp.arange(wch, dtype=jnp.int32) % channels
             )[None, None, :]

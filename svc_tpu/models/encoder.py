@@ -48,6 +48,7 @@ from svc_tpu.config import EncoderConfig, VideoProperties
 from svc_tpu.io import bitstream
 from svc_tpu.ops.ccl import block_types_from_clusters
 from svc_tpu.ops.color import bgr_planes_to_y
+from svc_tpu.ops import interleave
 from svc_tpu.ops.dct import dct2_planes_to_wire
 from svc_tpu.ops.dct_pallas import (
     dct2_planes_to_wire_pallas,
@@ -297,26 +298,13 @@ class Encoder:
         """
         n, h, w3 = packed_bgr.shape
         w = w3 // 3
-        if w % 128 == 0:
-            # selection-matmul de-interleave: the stride-3 lane slices
-            # lower to scalar gathers plus relayout copies (~2 ms of the
-            # 15 ms 1080p batch); contracting 384-byte lane groups with a
-            # 0/1 selector instead rides the MXU. uint8 is exact in
-            # bfloat16 and each output is a single selected product, so
-            # the result is bit-exact.
-            sel = np.zeros((3, 384, 128), np.float32)
-            for c in range(3):
-                sel[c, 3 * np.arange(128) + c, np.arange(128)] = 1.0
-            x = packed_bgr.reshape(n, h, w // 128, 384)
-            planes = (
-                jnp.einsum(
-                    "nhgi,cio->cnhgo",
-                    x.astype(jnp.bfloat16),
-                    jnp.asarray(sel, jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                .astype(jnp.uint8)
-                .reshape(3, n, h, w)
+        if interleave.lane_aligned(w):
+            # selection-matmul de-interleave (ops/interleave.py): the
+            # stride-3 lane slices lower to scalar gathers plus relayout
+            # copies (~2 ms of the 15 ms 1080p batch); the exact bf16
+            # selector einsum rides the MXU instead, bit-exactly.
+            planes = interleave.deinterleave_rows(
+                packed_bgr, 3
             )  # (3, N, H, W): B, G, R
         else:
             planes = jnp.stack(

@@ -210,10 +210,12 @@ def idct2_wire_to_planes_pitched(
 ):
     """Inverse blockwise DCT into COLUMN-PITCHED planes.
 
-    Returns ``(planes, col_map)`` where ``planes`` is ``(C, PH,
-    bw*nbx)`` float32 with storage column ``j*nbx + x`` holding spatial
-    column ``x*bw + j``, and ``col_map`` is the int32 spatial->storage
-    lookup. The spatial layout's transpose lands on a trailing
+    Returns ``(planes, col_map)`` where ``planes`` is ``(C, PH, bw,
+    nbx)`` float32 with storage position ``(j, x)`` holding spatial
+    column ``x*bw + j``, and ``col_map`` is the int32 ``(2, W)`` table of
+    per-spatial-column ``(j, x)`` pairs (kept as two separate axes — the
+    merged ``bw*nbx`` column is a full relayout copy under TPU tiling).
+    The spatial layout's transpose lands on a trailing
     ``(nbx, bw)`` f32 intermediate whose ``bw``-wide lane axis tile-pads
     16x (measured ~10 ms of relayout per 16-frame 1080p decode batch);
     the pitched permutation ``(c, nby, bh, bw, nbx)`` tiles exactly

@@ -1,0 +1,84 @@
+"""Exact selection-matmul (de)interleave between packed pixel rows and
+channel planes.
+
+The natural formulations are hostile on TPU: a trailing channel axis of
+C=3 tile-pads to 128 lanes (43x physical memory), stride-C lane slices
+lower to scalar gathers plus relayout copies (~2 ms per 16-frame 1080p
+batch in the encoder frontend), and the repeat-plus-select interleave
+costs ~1.5 ms in the decoder. When the frame width is a lane multiple,
+both directions are instead ONE einsum against a 0/1 selector over
+``C*128``-byte lane groups: uint8 is exact in bfloat16 and every output
+element is a single selected product, so the results are bit-exact.
+
+Used by the encoder frontend (``models/encoder.py:preprocess``) and the
+decoder's packed-output stage (``models/decoder.py``); the two selectors
+are mutual inverses by construction (asserted in tests/test_image_ops.py).
+Reference analog: the interleaved BGR frames of ``cv::VideoCapture`` /
+``cv::imshow`` (libs/encoder.cpp:360-365, libs/decoder.cpp:208-215).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def lane_aligned(width: int) -> bool:
+    """True when ``width`` supports the selection-matmul fast path."""
+    return width % 128 == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _deint_selector(channels: int) -> np.ndarray:
+    """(C, C*128, 128) 0/1: packed lane group -> per-channel pixel lanes."""
+    sel = np.zeros((channels, channels * 128, 128), np.float32)
+    lanes = np.arange(128)
+    for c in range(channels):
+        sel[c, channels * lanes + c, lanes] = 1.0
+    return sel
+
+
+@functools.lru_cache(maxsize=None)
+def _int_selector(channels: int) -> np.ndarray:
+    """(C, 128, C*128) 0/1: per-channel pixel lanes -> packed lane group."""
+    sel = np.zeros((channels, 128, channels * 128), np.float32)
+    lanes = np.arange(128)
+    for c in range(channels):
+        sel[c, lanes, channels * lanes + c] = 1.0
+    return sel
+
+
+def deinterleave_rows(packed: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """``(..., H, W*C)`` packed uint8 rows -> ``(C, ..., H, W)`` planes.
+
+    Requires ``lane_aligned(W)``.
+    """
+    w = packed.shape[-1] // channels
+    g = w // 128
+    x = packed.reshape(packed.shape[:-1] + (g, channels * 128))
+    out = jnp.einsum(
+        "...gi,cio->c...go",
+        x.astype(jnp.bfloat16),
+        jnp.asarray(_deint_selector(channels), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint8)
+    return out.reshape((channels,) + packed.shape[:-1] + (w,))
+
+
+def interleave_rows(planes: jnp.ndarray) -> jnp.ndarray:
+    """``(..., C, H, W)`` uint8 planes -> ``(..., H, W*C)`` packed rows.
+
+    Requires ``lane_aligned(W)``.
+    """
+    *lead, channels, h, w = planes.shape
+    g = w // 128
+    x = planes.reshape(tuple(lead) + (channels, h, g, 128))
+    out = jnp.einsum(
+        "...chgi,cio->...hgo",
+        x.astype(jnp.bfloat16),
+        jnp.asarray(_int_selector(channels), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint8)
+    return out.reshape(tuple(lead) + (h, w * channels))

@@ -133,12 +133,21 @@ def rows_pallas_supported(
     """Gate: bounded non-negative shifts, standard y1 pattern, lane-friendly
     pitch, and a worthwhile size."""
     out_h = y0.shape[0]
+    rt = _ROW_TILE
     s = y0 - np.arange(out_h)
-    return bool(
-        out_h >= _ROW_TILE
+    if not (
+        out_h >= rt
         and (s >= 0).all()
         and s.max() <= 15
         and (y1 == np.clip(y0 + 1, 0, h - 1)).all()
         and tail_elems >= 128
         and (fy[y0 >= h - 1] == 0).all()
-    )
+    ):
+        return False
+    # the kernel pads the input up to its tiled view extent; a steep
+    # downscale can leave that extent SHORTER than the input (negative
+    # pad) — such shapes take the XLA path
+    out_pad = -(-out_h // rt) * rt
+    n_views = -(-(rt + int(s.max()) + 1) // rt)
+    rows_needed = (out_pad // rt - 1 + n_views) * rt
+    return rows_needed >= h

@@ -117,3 +117,29 @@ class TestResize:
         img = np.random.default_rng(7).normal(size=(8, 8)).astype(np.float32)
         got = np.asarray(resize_bilinear(jnp.asarray(img), 8, 8))
         np.testing.assert_allclose(got, img, atol=1e-6)
+
+
+class TestInterleave:
+    """The selection-matmul (de)interleave helpers are exact and mutually
+    inverse (ops/interleave.py)."""
+
+    def test_roundtrip_and_reference(self):
+        from svc_tpu.ops import interleave
+
+        rng = np.random.default_rng(0)
+        t, h, w, c = 2, 5, 256, 3
+        frames = rng.integers(0, 256, (t, h, w, c), np.uint8)
+        packed = jnp.asarray(frames.reshape(t, h, w * c))
+        planes = interleave.deinterleave_rows(packed, c)  # (C, T, H, W)
+        ref = np.transpose(frames, (3, 0, 1, 2))
+        np.testing.assert_array_equal(np.asarray(planes), ref)
+
+        # inverse direction from (T, C, H, W)
+        back = interleave.interleave_rows(jnp.moveaxis(planes, 0, 1))
+        np.testing.assert_array_equal(np.asarray(back), frames.reshape(t, h, w * c))
+
+    def test_lane_aligned_gate(self):
+        from svc_tpu.ops import interleave
+
+        assert interleave.lane_aligned(1920)
+        assert not interleave.lane_aligned(352)
