@@ -46,54 +46,68 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
 _KPAD = 16  # sublane-padded cluster capacity
+_CHUNK = 8192  # lane-chunk size for large point sets
 
 
 def _make_lloyd_kernel(
-    k: int, d: int, attempts: int, max_iter: int, epsilon: float, n: int
+    k: int, d: int, attempts: int, max_iter: int, epsilon: float, n: int,
+    cs: int,
 ):
-    def kernel(x_ref, m_ref, c0_ref, tril_ref, lab_ref, cen_ref, cmp_ref, fo_ref, cand_ref):
-        x = x_ref[...]  # (8, N): rows 0..d-1 features, row d = ones
-        maskv = m_ref[...]  # (1, N) f32
+    """Kernel factory. Points are processed in ``n // cs`` lane chunks so
+    large fields (4K: 32400 MV blocks) stay inside VMEM: the per-chunk
+    (16, cs) distance/one-hot values are the only big live tensors, while
+    the centers update accumulates one (16, 8) MXU dot per chunk. With a
+    single chunk (``cs == n``) the op sequence is exactly the historical
+    unchunked kernel."""
+    nc = n // cs
+
+    def kernel(x_ref, m_ref, c0_ref, tril_ref, lab_ref, cen_ref, cmp_ref, fo_ref, cand_ref, pd2_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         row16 = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, 1), 0)
-        rowN = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, n), 0)
+        rowCS = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, cs), 0)
         col128 = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, 128), 1)
         fake_row = (row16 >= k).astype(jnp.float32) * _BIG  # (16,1)
         real_row = (row16 < k).astype(jnp.float32)
         dim_cols = (col128 < d).astype(jnp.float32)
         tril_c = tril_ref[...]
 
-        def assign(cen):
+        def assign_chunk(cen, ch):
+            xs = x_ref[:, ch * cs : (ch + 1) * cs]  # (8, cs)
+            mv = m_ref[:, ch * cs : (ch + 1) * cs]  # (1, cs)
             # per-dimension broadcast subtract-square: measured FASTER
-            # than the |c|^2 - 2c.x + |x|^2 MXU-dot expansion here (the
-            # feature axis is tiny, so 30 sequential M=16/K=d dots are
-            # latency-bound and cost ~0.4 ms/batch more than these VPU
-            # passes)
+            # than the |c-x|^2 MXU-dot expansion here (the feature axis is
+            # tiny, so sequential M=16/K=d dots are latency-bound and cost
+            # ~0.4 ms/batch more than these VPU passes)
             d2 = None
             for dd in range(d):
-                t = (cen[:, dd : dd + 1] - x[dd : dd + 1, :]) ** 2
+                t = (cen[:, dd : dd + 1] - xs[dd : dd + 1, :]) ** 2
                 d2 = t if d2 is None else d2 + t
             d2 = d2 + fake_row  # exclude padding rows
-            best = jnp.min(d2, axis=0, keepdims=True)  # (1, N)
+            best = jnp.min(d2, axis=0, keepdims=True)  # (1, cs)
             lab = jnp.min(
-                jnp.where(d2 <= best, rowN, _KPAD), axis=0, keepdims=True
+                jnp.where(d2 <= best, rowCS, _KPAD), axis=0, keepdims=True
             )  # first-wins ties
-            pd2 = jnp.where(maskv > 0, jnp.maximum(best, 0.0), 0.0)
-            return lab, pd2
+            pd2 = jnp.where(mv > 0, jnp.maximum(best, 0.0), 0.0)
+            return xs, mv, lab, pd2
 
         for a in range(attempts):
             cen = c0_ref[0, a]  # (16, 128) f32, cols >= d zero
             done = jnp.float32(0.0)
             for _ in range(max_iter):
-                lab, pd2 = assign(cen)
-                onehot = (
-                    (rowN == lab).astype(jnp.float32) * maskv
-                )  # (16, N)
-                sums = jax.lax.dot_general(
-                    onehot, x, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (16, 8): cols 0..d-1 sums, col d counts
+                sums = None
+                for ch in range(nc):
+                    xs, mv, lab, pd2 = assign_chunk(cen, ch)
+                    onehot = (
+                        (rowCS == lab).astype(jnp.float32) * mv
+                    )  # (16, cs)
+                    p = jax.lax.dot_general(
+                        onehot, xs, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (16, 8): cols 0..d-1 sums, col d counts
+                    sums = p if sums is None else sums + p
+                    # parked for the (rare, predicated) repair pass
+                    pd2_ref[:, ch * cs : (ch + 1) * cs] = pd2
                 counts = sums[:, d : d + 1]  # (16, 1)
                 newc = sums / jnp.maximum(counts, 1.0)
                 newc = jnp.pad(newc, ((0, 0), (0, 128 - newc.shape[1])))
@@ -108,7 +122,8 @@ def _make_lloyd_kernel(
                     # argmax, same picks as ops/kmeans.py's take_far for
                     # used ranks) — predicated out entirely on the common
                     # no-empty-cluster iteration
-                    d2left = jnp.where(maskv > 0, pd2, -1.0)
+                    maskv = m_ref[...]
+                    d2left = jnp.where(maskv > 0, pd2_ref[...], -1.0)
                     for m in range(k):
                         mx = jnp.max(d2left)
                         fi = jnp.min(jnp.where(d2left >= mx, lane, n))
@@ -121,7 +136,7 @@ def _make_lloyd_kernel(
                             (1, n), jnp.float32
                         )
                     farv = jax.lax.dot_general(
-                        fo_ref[...], x, (((1,), (1,)), ((), ())),
+                        fo_ref[...], x_ref[...], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )  # (16, 8); row m = coords of m-th farthest point
@@ -167,10 +182,14 @@ def _make_lloyd_kernel(
                 cen = jnp.where(done > 0, cen, cand)
                 done = new_done
 
-            lab, pd2 = assign(cen)
-            lab_ref[0, a : a + 1, :] = lab
+            total = None
+            for ch in range(nc):
+                _, _, lab, pd2 = assign_chunk(cen, ch)
+                lab_ref[0, a : a + 1, ch * cs : (ch + 1) * cs] = lab
+                t = jnp.sum(pd2)
+                total = t if total is None else total + t
             cen_ref[0, a] = cen
-            cmp_ref[0, a : a + 1, :] = jnp.sum(pd2) * jnp.ones(
+            cmp_ref[0, a : a + 1, :] = total * jnp.ones(
                 (1, 128), jnp.float32
             )
 
@@ -201,8 +220,15 @@ def lloyd_pallas(
     (A,))``.
     """
     attempts = init_centers.shape[0]
-    n = x_aug.shape[1]
-    kernel = _make_lloyd_kernel(k, d, attempts, max_iter, epsilon, n)
+    n_in = x_aug.shape[1]
+    cs = min(n_in, _CHUNK)
+    n = -(-n_in // cs) * cs
+    if n != n_in:
+        # pad to a whole number of chunks; mask zeros keep the pad lanes
+        # out of every sum/pick, and the label tail is sliced off below
+        x_aug = jnp.pad(x_aug, ((0, 0), (0, n - n_in)))
+        mask_f = jnp.pad(mask_f, ((0, 0), (0, n - n_in)))
+    kernel = _make_lloyd_kernel(k, d, attempts, max_iter, epsilon, n, cs)
     lab, cen, cmp_ = pl.pallas_call(
         kernel,
         grid=(1,),
@@ -242,6 +268,7 @@ def lloyd_pallas(
         scratch_shapes=[
             pltpu.VMEM((_KPAD, n), jnp.float32),
             pltpu.VMEM((_KPAD, 128), jnp.float32),
+            pltpu.VMEM((1, n), jnp.float32),
         ],
     )(
         x_aug,
@@ -249,19 +276,20 @@ def lloyd_pallas(
         init_centers[None],
         jnp.asarray(np.tril(np.ones((_KPAD, _KPAD), np.float32))),
     )
-    return lab[0], cen[0], cmp_[0, :, 0]
+    return lab[0, :, :n_in], cen[0], cmp_[0, :, 0]
 
 
 def lloyd_pallas_supported(n: int, k: int, d: int) -> bool:
     """TPU-only (CPU tests use the XLA path), modest sizes, k <= 16.
 
-    The point-axis cap keeps the kernel inside the ~16 MB scoped-VMEM
-    budget (the (16, N) one-hot/distance values plus two scratches run
-    ~600 B/point); larger fields (4K: 32400 blocks) take the XLA path.
+    Points beyond one chunk (8192 lanes) are processed in chunks inside
+    the kernel; the cap keeps the full-row scratches (labels, pd2,
+    farthest-point one-hots — ~70 B/point) plus per-chunk values inside
+    the ~16 MB scoped-VMEM budget. 4K's 32400-block MV field fits.
     """
     return (
         jax.default_backend() not in ("cpu",)
         and k <= _KPAD
         and d <= 7
-        and 128 <= n <= 16384
+        and 128 <= n <= 8 * _CHUNK
     )
