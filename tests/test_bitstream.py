@@ -123,3 +123,54 @@ class TestFrameSerialization:
         buf = io.BytesIO(b"\x00" * (h.frame_byte_count - 1))
         with pytest.raises(ValueError, match="failed to read block"):
             list(bs.read_frames(buf, h))
+
+
+class TestUntrustedStreams:
+    """Adversarial bytes: the decode surface must fail with typed errors,
+    never crash or accept impossible geometry (the reference trusts raw
+    struct bytes, apps/decoder.cpp:106-111 — validate() is an addition)."""
+
+    def test_header_fuzz_never_crashes(self):
+        rng = np.random.default_rng(0)
+        accepted = 0
+        for _ in range(1000):
+            raw = rng.bytes(32)
+            try:
+                h = bs.Header.unpack(raw)
+                h.validate()
+            except ValueError:
+                continue
+            accepted += 1
+            # anything validate() lets through must have sane derived sizes
+            assert h.blocks_per_frame >= 1
+            assert h.block_byte_count > 0
+        # random uint32s rarely satisfy the divisibility rules
+        assert accepted < 100
+
+    def test_arbitrary_payload_bytes_deserialize(self):
+        # the frame payload is raw fixed-layout bytes: ANY byte string of
+        # the right size must deserialize into well-shaped arrays
+        h = _header()
+        rng = np.random.default_rng(1)
+        payload = rng.bytes(h.blocks_per_frame * h.block_byte_count)
+        types, coeffs = bs.deserialize_frame_blocks(payload, h)
+        nbx = h.padded_frame_w // h.transform_block_w
+        nby = h.padded_frame_h // h.transform_block_h
+        assert types.shape == (nby, nbx)
+        assert coeffs.shape[:2] == (nby, nbx)
+
+    def test_decoder_app_rejects_garbage_stream(self):
+        import os
+        import subprocess
+        import sys as _sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        rng = np.random.default_rng(2)
+        proc = subprocess.run(
+            [_sys.executable, "-m", "svc_tpu.apps.decoder_app",
+             "--output", "/dev/null"],
+            input=rng.bytes(4096), capture_output=True, env=env, cwd=repo,
+        )
+        assert proc.returncode != 0
+        assert b"Traceback" not in proc.stderr
