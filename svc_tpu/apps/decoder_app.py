@@ -50,6 +50,7 @@ class _AppConfig:
 def _opts(c: _AppConfig) -> List[cli.Opt]:
     d = c.decoder
     U, I, S = cli.OptArgType.UINT, cli.OptArgType.INT, cli.OptArgType.STRING
+    P = cli.OptArgType.PATH
     fs = cli.field_setter
     return [
         cli.Opt("foreground-quant-step", U, fs(d, "foreground_quant_step")),
@@ -57,10 +58,10 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.Opt("max-gaze-rect-w", U, fs(d, "max_gaze_rect_w")),
         cli.Opt("max-gaze-rect-h", U, fs(d, "max_gaze_rect_h")),
         # framework extensions
-        cli.Opt("input", S, fs(c, "input")),
-        cli.Opt("output", S, fs(c, "output")),
+        cli.Opt("input", P, fs(c, "input")),
+        cli.Opt("output", P, fs(c, "output")),
         cli.Opt("gaze", S, fs(c, "gaze")),
-        cli.Opt("gaze-trajectory", S, fs(c, "gaze_trajectory")),
+        cli.Opt("gaze-trajectory", P, fs(c, "gaze_trajectory")),
         cli.Opt("batch-size", U, fs(c, "batch_size")),
         cli.Opt("devices", U, fs(c, "devices")),
         cli.Opt("show", I, fs(c, "show")),
@@ -74,18 +75,38 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
 def _parse_gazes(
     cfg: _AppConfig, frame_count: int
 ) -> List[Optional[Tuple[int, int]]]:
+    """Per-frame gaze positions from ``--gaze``/``--gaze-trajectory``.
+
+    Malformed values raise ``ValueError`` with a readable message (the
+    caller turns it into an exit status — CLI input must never produce a
+    traceback). ``frame_count`` is bounded by ``Header.validate``.
+    """
     gazes: List[Optional[Tuple[int, int]]] = [None] * frame_count
     if cfg.gaze:
         parts = cfg.gaze.replace(",", " ").split()
-        pos = (int(parts[0]), int(parts[1]))
+        try:
+            pos = (int(parts[0]), int(parts[1]))
+        except (IndexError, ValueError):
+            raise ValueError(
+                f"bad --gaze value {cfg.gaze!r}: expected X,Y integers"
+            ) from None
         gazes = [pos] * frame_count
     if cfg.gaze_trajectory:
         table: Dict[int, Tuple[int, int]] = {}
         with open(cfg.gaze_trajectory) as f:
-            for line in f:
+            for lineno, line in enumerate(f, 1):
                 fields = line.replace(",", " ").split()
-                if len(fields) >= 3:
-                    table[int(fields[0])] = (int(fields[1]), int(fields[2]))
+                if len(fields) < 3:
+                    continue
+                try:
+                    table[int(fields[0])] = (
+                        int(fields[1]), int(fields[2])
+                    )
+                except ValueError:
+                    raise ValueError(
+                        f"bad gaze trajectory line {lineno}: "
+                        f"{line.rstrip()!r}"
+                    ) from None
         last: Optional[Tuple[int, int]] = None
         for i in range(frame_count):
             last = table.get(i, last)
@@ -114,7 +135,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"validating config: {err.message}", file=sys.stderr)
         return 1
 
-    stream = open(cfg.input, "rb") if cfg.input else sys.stdin.buffer
+    try:
+        stream = open(cfg.input, "rb") if cfg.input else sys.stdin.buffer
+    except OSError as e:
+        print(f"failed to open input: {e}", file=sys.stderr)
+        return 1
     raw_header = stream.read(bitstream.HEADER_SIZE)
     if len(raw_header) < bitstream.HEADER_SIZE:
         print("failed to read header", file=sys.stderr)
@@ -153,16 +178,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         decoder = Decoder(cfg.decoder, header, batch_size=cfg.batch_size)
 
-    if cfg.show:
-        return _run_gui(cfg, decoder, stream, header)
-
     start = min(cfg.start_frame, header.frame_count)
     count = header.frame_count - start
     if cfg.max_frames:
         count = min(count, cfg.max_frames)
     bitstream.seek_to_frame(stream, header, start)
 
-    gazes = _parse_gazes(cfg, header.frame_count)[start : start + count]
+    if cfg.show:
+        return _run_gui(cfg, decoder, stream, header, count)
+
+    try:
+        gazes = _parse_gazes(cfg, header.frame_count)[start : start + count]
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
     frames = list(
         decoder.decode_frames(
             bitstream.read_frames(stream, header, count), iter(gazes)
@@ -181,9 +210,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def _run_gui(cfg, decoder, stream, header) -> int:
+def _run_gui(cfg, decoder, stream, header, count) -> int:
     """Interactive display with live mouse gaze — the reference's GUI mode
-    (libs/decoder.cpp:151-216). Requires OpenCV."""
+    (libs/decoder.cpp:151-216). Requires OpenCV. The stream is already
+    positioned at ``--start-frame``; ``count`` honors ``--max-frames``."""
     try:
         import cv2
     except ImportError:
@@ -201,13 +231,13 @@ def _run_gui(cfg, decoder, stream, header) -> int:
     cv2.setMouseCallback(window, on_mouse)
 
     def gaze_stream():
-        for _ in range(header.frame_count):
+        for _ in range(count):
             yield (mouse["x"], mouse["y"])
 
     # latency over throughput in GUI mode: a fresh single-frame decoder
     decoder = Decoder(decoder.cfg, header, batch_size=1)
     for frame in decoder.decode_frames(
-        bitstream.read_frames(stream, header), gaze_stream()
+        bitstream.read_frames(stream, header, count), gaze_stream()
     ):
         cv2.imshow(window, frame)
         if cv2.waitKey(1) >= 0:

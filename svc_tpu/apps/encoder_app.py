@@ -66,6 +66,7 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.OptArgType.INT,
         cli.OptArgType.STRING,
     )
+    P = cli.OptArgType.PATH
     fs = cli.field_setter
     return [
         cli.Opt("mv-block-w", U, fs(e, "mv_block_w")),
@@ -97,9 +98,9 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
             I,
             lambda v: setattr(e, "reference_compat", bool(v)),
         ),
-        cli.Opt("output", S, fs(c, "output")),
+        cli.Opt("output", P, fs(c, "output")),
         cli.Opt("batch-size", U, fs(c, "batch_size")),
-        cli.Opt("visualize", S, fs(c, "visualize")),
+        cli.Opt("visualize", P, fs(c, "visualize")),
         cli.Opt("show", I, fs(c, "show")),
         # resume/checkpoint: payload index to resume from (the bitstream is
         # random-access; encoder state is only the previous frame)
@@ -107,8 +108,8 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         cli.Opt("max-frames", U, fs(c, "max_frames")),
         cli.Opt("no-header", I, fs(c, "no_header")),
         # observability
-        cli.Opt("trace", S, fs(c, "trace")),
-        cli.Opt("profile", S, fs(c, "profile")),
+        cli.Opt("trace", P, fs(c, "trace")),
+        cli.Opt("profile", P, fs(c, "profile")),
         # scale-out
         cli.Opt("devices", U, fs(c, "devices")),
     ]
@@ -223,14 +224,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                 break
             yield frame
 
+    stats = {"payloads": 0}
+
     def encode_stream(q):
-        return encoder.encode_video(
+        chunks = encoder.encode_video(
             frames_from(q),
             emit_header=not cfg.no_header,
             header_frame_count=n_payloads,
             first_anchor_index=start,
             tracer=tracer if cfg.trace else None,
         )
+        first = not cfg.no_header
+        for chunk in chunks:
+            if first:
+                first = False
+            else:
+                stats["payloads"] += 1
+            yield chunk
 
     cancel = CancelToken()
 
@@ -278,6 +288,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 130
     finally:
         reader.close()
+
+    # reconcile the header with what was actually encoded: container
+    # frame-count metadata (cv2 CAP_PROP_FRAME_COUNT) is often wrong, and
+    # a header promising more frames than the body holds makes the stream
+    # undecodable past the truncation point
+    if not cfg.no_header and stats["payloads"] != n_payloads:
+        if cfg.output:
+            with open(cfg.output, "r+b") as f:
+                f.write(encoder.header(stats["payloads"]).pack())
+            print(
+                f"note: source yielded {stats['payloads']} payload frames "
+                f"(container metadata promised {n_payloads}); header "
+                "updated",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"warning: wrote {stats['payloads']} payload frames but "
+                f"the header (already on the pipe) promises {n_payloads}; "
+                "decode with --max-frames or re-encode to a file",
+                file=sys.stderr,
+            )
 
     if cfg.trace:
         tracer.dump(cfg.trace)

@@ -83,6 +83,12 @@ class Header:
             )
         if not (1 <= self.channel_count <= 4):
             raise ValueError("invalid header: bad channel count")
+        # bound the promised stream size: a crafted count (or giant dims
+        # with tiny blocks) must not drive multi-GB allocations downstream
+        if self.frame_count > 1 << 24:  # ~155 h at 30 fps
+            raise ValueError("invalid header: implausible frame count")
+        if self.blocks_per_frame > 1 << 24:
+            raise ValueError("invalid header: implausible block count")
 
     @property
     def padded_frame_w(self) -> int:
@@ -260,12 +266,6 @@ def deserialize_frame(
     tbw, tbh = header.transform_block_w, header.transform_block_h
     c = header.channel_count
     pw, ph = header.padded_frame_w, header.padded_frame_h
-    nby, nbx = ph // tbh, pw // tbw
-    nblocks = nby * nbx
-    block_bytes = header.block_byte_count
-    expected = nblocks * block_bytes
-    if len(data) < expected:
-        raise ValueError("failed to read all expected blocks")
 
     from svc_tpu.runtime import native as _native
 
@@ -273,13 +273,9 @@ def deserialize_frame(
     if parsed is not None:
         return parsed
 
-    raw = np.frombuffer(data, dtype=np.uint8, count=expected).reshape(
-        nblocks, block_bytes
-    )
-    types = raw[:, :4].copy().view(np.uint32).reshape(nby, nbx)
-    coeff_blocks = (
-        raw[:, 4:].copy().view(np.float32).reshape(nby, nbx, c, tbh, tbw)
-    )
+    # one wire parser: the block-layout reader does the length check and
+    # byte reinterpretation; this view only rearranges to plane layout
+    types, coeff_blocks = deserialize_frame_blocks(data, header)
     coeffs = coeff_blocks.transpose(2, 0, 3, 1, 4).reshape(c, ph, pw)
     return types, coeffs
 

@@ -206,7 +206,13 @@ class _RawAviReader:
 
     def __init__(self, path: str):
         self._f = open(path, "rb")
-        data = self._f.read()
+        # index via a memory map: a raw 1080p AVI is ~6 MB/frame, so
+        # slurping the file would pin the whole clip resident for the
+        # reader's lifetime; mmap pages in only what each frame touches
+        import mmap
+
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        data = self._mm
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             raise ValueError(f"not an AVI file: {path}")
         i = data.find(b"strf")
@@ -232,7 +238,6 @@ class _RawAviReader:
                     k += 8 + sz + (sz & 1)
                 break
             j = data.find(b"LIST", j + 4)
-        self._data = data
         self.props = VideoProperties(
             frame_w=w, frame_h=h, frame_count=len(self._offsets)
         )
@@ -240,12 +245,13 @@ class _RawAviReader:
     def __iter__(self) -> Iterator[np.ndarray]:
         for off, sz in self._offsets:
             rows = np.frombuffer(
-                self._data[off : off + sz], np.uint8
+                self._mm[off : off + sz], np.uint8
             ).reshape(self._h, self._stride)[:, : self._w * 3]
             frame = rows.reshape(self._h, self._w, 3)
             yield frame if self._top_down else frame[::-1].copy()
 
     def close(self) -> None:
+        self._mm.close()
         self._f.close()
 
 
@@ -345,8 +351,13 @@ def write_y4m_video(path: str, frames_bgr: np.ndarray) -> None:
             g = frame[..., 1].astype(np.float32)
             r = frame[..., 2].astype(np.float32)
             y = 0.299 * r + 0.587 * g + 0.114 * b
-            u = 0.492 * (b - y) + 128.0
-            v = 0.877 * (r - y) + 128.0
+            # full-range BT.601 YCbCr chroma scale (the exact inverse of
+            # _yuv444_to_bgr's 1.773/1.403 reconstruction and what every
+            # standard consumer expects). The analog-YUV 0.492/0.877
+            # scale used here previously read back with systematic color
+            # shifts (+32 on saturated red through a round trip).
+            u = 0.564 * (b - y) + 128.0
+            v = 0.713 * (r - y) + 128.0
             planes = np.stack([y, u, v])
             f.write(b"FRAME\n")
             f.write(

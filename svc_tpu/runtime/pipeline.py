@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Callable, Iterator, List, Optional
 
 _DONE = object()
 
@@ -104,14 +104,23 @@ def pipeline_threads(
     A ``CancelToken`` lets either side abort: the producer is expected to
     call ``cancel.check()`` between pushes; the consumer's cancellation
     propagates by signalling done and draining.
+
+    A producer failure (anything but ``CancelledError``) is re-raised
+    HERE after the consumer drains: without this, a crashed producer
+    looks like a clean end-of-stream and the pipeline "succeeds" with a
+    truncated output (e.g. a bitstream whose header promises more frames
+    than its body holds).
     """
     q = BoundedQueue(capacity)
+    producer_error: List[BaseException] = []
 
     def run_producer():
         try:
             producer(q)
         except CancelledError:
             pass
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            producer_error.append(e)
         finally:
             q.signal_producer_done()
 
@@ -129,3 +138,5 @@ def pipeline_threads(
         while q.pop() is not None:
             pass
         t.join()
+    if producer_error:
+        raise producer_error[0]

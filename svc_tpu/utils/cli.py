@@ -23,7 +23,9 @@ class OptArgType(enum.Enum):
     INT = 0
     UINT = 1
     FLOAT = 2
-    STRING = 3
+    STRING = 3  # sscanf %s semantics: first whitespace token (reference)
+    PATH = 4  # framework extensions: the whole argv element (paths may
+    #           contain spaces; %s token truncation would lose data)
 
 
 class Status(enum.Enum):
@@ -121,6 +123,8 @@ def parse_opts(
             value = _sscanf_float(raw)
         elif opt.arg_type == OptArgType.STRING:
             value = raw.split()[0] if raw.split() else None
+        elif opt.arg_type == OptArgType.PATH:
+            value = raw if raw else None
         else:  # pragma: no cover - enum is closed
             return Status.INVALID_OPT_ARG_TYPE, i
 

@@ -184,3 +184,29 @@ class TestCancellation:
         assert token.wait(5.0)
         with pytest.raises(CancelledError):
             token.check()
+
+
+def test_decoder_app_bad_gaze_is_clean_error(tmp_path):
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # a syntactically valid header so the app reaches gaze parsing
+    from svc_tpu.io import bitstream
+
+    hdr = bitstream.Header(
+        frame_count=1, frame_w=32, frame_h=16, frame_excess_w=0,
+        frame_excess_h=0, transform_block_w=8, transform_block_h=8,
+        channel_count=3,
+    )
+    stream = hdr.pack() + b"\x00" * (hdr.blocks_per_frame * hdr.block_byte_count)
+    proc = subprocess.run(
+        [_sys.executable, "-m", "svc_tpu.apps.decoder_app",
+         "--gaze", "100", "--output", str(tmp_path / "o.npy")],
+        input=stream, capture_output=True, env=env, cwd=repo,
+    )
+    assert proc.returncode == 1
+    assert b"bad --gaze" in proc.stderr
+    assert b"Traceback" not in proc.stderr

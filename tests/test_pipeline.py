@@ -174,3 +174,23 @@ class TestReferenceCompatMode:
         np.testing.assert_array_equal(
             np.asarray(out_a["mv_field"]), np.asarray(out_b["mv_field"])
         )
+
+
+def test_producer_exception_propagates():
+    """A crashed producer must fail the pipeline, not fake a clean EOS
+    (a truncated bitstream with exit 0 otherwise)."""
+    from svc_tpu.runtime.pipeline import pipeline_threads
+
+    def bad_producer(q):
+        q.push(1)
+        raise RuntimeError("reader exploded")
+
+    seen = []
+
+    def consumer(q):
+        for item in q:
+            seen.append(item)
+
+    with pytest.raises(RuntimeError, match="reader exploded"):
+        pipeline_threads(bad_producer, consumer, capacity=2)
+    assert seen == [1]

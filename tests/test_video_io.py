@@ -68,10 +68,14 @@ class TestOtherContainers:
         write_npy_video(path, frames)
         assert np.array_equal(np.stack(list(VideoReader(path))), frames)
 
-    def test_y4m_roundtrip_approximate(self, frames, tmp_path):
+    def test_y4m_roundtrip_tight(self, frames, tmp_path):
         path = str(tmp_path / "clip.y4m")
         write_y4m_video(path, frames)
         got = np.stack(list(VideoReader(path)))
-        # YUV444 round trip is lossy (range clipping on saturated colors)
+        # writer and reader use exact-inverse full-range BT.601 YCbCr
+        # scales, so the round trip loses only quantization (two float
+        # roundings per sample); saturated corners may clip a bit more
         assert got.shape == frames.shape
-        assert np.abs(got.astype(int) - frames.astype(int)).mean() < 16
+        err = np.abs(got.astype(int) - frames.astype(int))
+        assert err.mean() < 1.5
+        assert err.max() <= 4
