@@ -93,7 +93,13 @@ def _parse_gazes(
         gazes = [pos] * frame_count
     if cfg.gaze_trajectory:
         table: Dict[int, Tuple[int, int]] = {}
-        with open(cfg.gaze_trajectory) as f:
+        try:
+            f = open(cfg.gaze_trajectory)
+        except OSError as e:
+            raise ValueError(
+                f"failed to open gaze trajectory: {e}"
+            ) from None
+        with f:
             for lineno, line in enumerate(f, 1):
                 fields = line.replace(",", " ").split()
                 if len(fields) < 3:

@@ -206,16 +206,31 @@ class _RawAviReader:
 
     def __init__(self, path: str):
         self._f = open(path, "rb")
+        self._mm = None
         # index via a memory map: a raw 1080p AVI is ~6 MB/frame, so
         # slurping the file would pin the whole clip resident for the
         # reader's lifetime; mmap pages in only what each frame touches
         import mmap
+        import os
 
-        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            if os.fstat(self._f.fileno()).st_size == 0:
+                raise ValueError(f"not an AVI file: {path}")
+            self._mm = mmap.mmap(
+                self._f.fileno(), 0, access=mmap.ACCESS_READ
+            )
+            self._parse(path)
+        except Exception:
+            self.close()
+            raise
+
+    def _parse(self, path: str) -> None:
         data = self._mm
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             raise ValueError(f"not an AVI file: {path}")
         i = data.find(b"strf")
+        if i < 0 or i + 8 + 40 > len(data):
+            raise ValueError(f"truncated AVI stream format chunk: {path}")
         bih = data[i + 8 : i + 8 + 40]
         w = int.from_bytes(bih[4:8], "little", signed=True)
         h = int.from_bytes(bih[8:12], "little", signed=True)
@@ -251,7 +266,8 @@ class _RawAviReader:
             yield frame if self._top_down else frame[::-1].copy()
 
     def close(self) -> None:
-        self._mm.close()
+        if self._mm is not None:
+            self._mm.close()
         self._f.close()
 
 

@@ -270,8 +270,6 @@ def pallas_wire_dct_supported(
     if nbx < 8 or nby < 1:
         return False
     n = block_h * block_w
-    if n % block_h:
-        return False
     r = _rows_per_step(nby)
     in_bytes = channels * r * n * nbx
     out_bytes = r * nbx * channels * n * 4

@@ -49,6 +49,26 @@ import numpy as np
 from svc_tpu.config import RansacParams
 
 
+#: Budget for the (k, N) hypothesis-scoring tensors. Degenerate-but-legal
+#: parameters (validation only requires w >= 0; e.g. w -> 0 with p -> 1)
+#: can demand millions of hypotheses; without a field-size-aware cap the
+#: broadcast scorer would allocate a (k, N) float32 err2 tensor of
+#: gigabytes (the reference just loops longer, libs/motion.cpp:210).
+_HYPOTHESIS_MEM_BUDGET = 64 << 20
+
+
+def hypothesis_cap(
+    n_points: int, budget_bytes: int = _HYPOTHESIS_MEM_BUDGET
+) -> int:
+    """Largest hypothesis count whose scoring tensors fit the budget.
+
+    Per (hypothesis, vector) cell the scorer holds 4 bytes of float32
+    squared error plus a 1-byte inlier flag. Floored at 1024 so small
+    degenerate fields still explore broadly.
+    """
+    return max(1024, budget_bytes // (5 * max(n_points, 1)))
+
+
 def iter_count(params: RansacParams, max_hypotheses: int = 65536) -> int:
     """Number of hypotheses, float32 math like the reference
     (libs/motion.cpp:144-149)."""
@@ -145,6 +165,17 @@ def estimate_global_motion_ransac(
         raise ValueError("motion field smaller than RANSAC subset size")
 
     k = iter_count(params)
+    cap = hypothesis_cap(n_points)
+    if k > cap:
+        import sys
+
+        print(
+            f"warning: RANSAC parameters ask for {k} hypotheses; capping "
+            f"at {cap} to bound the ({k}, {n_points}) scoring tensor "
+            f"(~{5 * k * n_points >> 20} MB)",
+            file=sys.stderr,
+        )
+        k = cap
     if k == 0:
         # no hypotheses sampled: nothing to fit (reference would read
         # uninitialized state here, quirk E3)

@@ -239,6 +239,19 @@ class VisualizingEncoder:
         except ImportError:
             self._imwrite = lambda p, img: np.save(p + ".npy", img)
 
+    # batch-protocol passthrough: the app's header-reconcile step and
+    # stream_encode read these off the outermost encoder object
+    @property
+    def cfg(self):
+        return self.encoder.cfg
+
+    @property
+    def batch_size(self):
+        return self.encoder.batch_size
+
+    def header(self, frame_count=None):
+        return self.encoder.header(frame_count)
+
     def encode_video(self, frames, on_batch=None, **kwargs):
         def dump(first_index, out, n_valid):
             # (3, T, PH, PW) channel planes -> (T, PH, PW, 3) BGR images
@@ -281,6 +294,18 @@ class LiveEncoderView:
         self.window = window
         self._open = True
         cv2.namedWindow(window, cv2.WINDOW_NORMAL)
+
+    # batch-protocol passthrough (see VisualizingEncoder)
+    @property
+    def cfg(self):
+        return self.encoder.cfg
+
+    @property
+    def batch_size(self):
+        return self.encoder.batch_size
+
+    def header(self, frame_count=None):
+        return self.encoder.header(frame_count)
 
     def encode_video(self, frames, on_batch=None, **kwargs):
         cv2 = self._cv2

@@ -7,7 +7,11 @@ import jax
 import jax.numpy as jnp
 
 from svc_tpu.config import RansacParams
-from svc_tpu.ops.ransac import estimate_global_motion_ransac, iter_count
+from svc_tpu.ops.ransac import (
+    estimate_global_motion_ransac,
+    hypothesis_cap,
+    iter_count,
+)
 
 
 def _field_with_outliers(n=200, gm=(3.0, -1.0), n_out=30, seed=0):
@@ -88,6 +92,30 @@ class TestRansac:
                 RansacParams(subset_sz=5),
                 jax.random.key(0),
             )
+
+    def test_degenerate_params_capped_by_field_size(self, capsys):
+        # legal-but-degenerate CLI params (validation only requires w >= 0)
+        # would demand 65536 hypotheses; on a 1080p-sized MV field (8160
+        # blocks) the capped scoring tensors must stay under 100 MB
+        n = 8160
+        params = RansacParams(inlier_ratio=0.0, success_prob=0.9999)
+        assert iter_count(params) == 65536
+        cap = hypothesis_cap(n)
+        assert cap * n * 5 < 100 << 20
+        field, truth = _field_with_outliers(n=n, seed=9)
+        gm, _, mask = estimate_global_motion_ransac(
+            jnp.asarray(field), params, jax.random.key(3)
+        )
+        assert "capping" in capsys.readouterr().err
+        np.testing.assert_array_equal(np.asarray(mask), truth)
+        np.testing.assert_allclose(np.asarray(gm), [3.0, -1.0], atol=0.2)
+
+    def test_normal_params_not_capped(self, capsys):
+        field, _ = _field_with_outliers()
+        estimate_global_motion_ransac(
+            jnp.asarray(field), RansacParams(), jax.random.key(0)
+        )
+        assert "capping" not in capsys.readouterr().err
 
     def test_all_identical_vectors_all_inliers(self):
         field = jnp.ones((50, 2), jnp.float32) * 4.0
