@@ -13,9 +13,12 @@
 // E10; this harness exists to test the Encoder class, not that app bug.
 //
 // Protocol:
-//   e2e_harness <w> <h> <frame_count> <kmeans_k>
+//   e2e_harness <w> <h> <frame_count> <kmeans_k> [morph_w morph_h]
 // stdin: frame_count raw BGR frames, w*h*3 bytes each (row-major, BGR
 //        interleaved — exactly cv::Mat3b layout).
+// morph_w/morph_h default to the app's 3x3; 1x1 disables morphology so
+// tiny foreground sets survive (the k-clamp regime test,
+// encoder.cpp:557-559 k = min(cluster_count, fg_count)).
 // stdout: the reference bitstream (Header then per-frame serialized blocks,
 //         encoder.cpp:222-269,360-381).
 //
@@ -47,6 +50,8 @@ int main(int argc, char** argv) {
   uint h = std::atoi(argv[2]);
   uint n = std::atoi(argv[3]);
   uint k = std::atoi(argv[4]);
+  uint morph_w = argc > 6 ? std::atoi(argv[5]) : 3;
+  uint morph_h = argc > 6 ? std::atoi(argv[6]) : 3;
 
   EncoderConfig cfg{};
   // apps/encoder.cpp:28-58 defaults
@@ -58,8 +63,8 @@ int main(int argc, char** argv) {
   cfg.ransac.inlier_ratio = 0.5f;
   cfg.ransac.success_prob = 0.99f;
   cfg.ransac.inlier_thresh = 7.5f;
-  cfg.morph_rect_w = 3;
-  cfg.morph_rect_h = 3;
+  cfg.morph_rect_w = morph_w;
+  cfg.morph_rect_h = morph_h;
   cfg.kmeans.cluster_count = k;
   cfg.kmeans.attempt_count = 3;
   cfg.kmeans.max_iter_count = 10;

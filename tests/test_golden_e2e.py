@@ -58,8 +58,13 @@ ULP_CUTOFF = 1.0
 
 
 def _build_harness():
-    if os.path.exists(_HARNESS):
+    src = os.path.join(_DIR, "e2e_harness.cpp")
+    if os.path.exists(_HARNESS) and (
+        os.path.getmtime(_HARNESS) >= os.path.getmtime(src)
+    ):
         return True
+    if os.path.exists(_HARNESS):
+        os.remove(_HARNESS)  # stale binary predates a harness change
     if not os.path.isdir(_REF):
         return False
     try:
@@ -188,6 +193,113 @@ class TestGoldenEndToEnd:
             f"max ulp {int(ulp.max())} exceeds gate {MAX_ULP_NONTINY} "
             f"(exact-bit fraction {exact:.4f})"
         )
+
+
+def _make_kclamp_clip(w=352, h=288, n=6, seed=11):
+    """Static noise bg + ONE 16x16 object moving (6,-5), never
+    block-aligned: the foreground never exceeds a handful of MV blocks, so
+    ``fg_count < cluster_count`` — the reference's k-clamp regime
+    (libs/encoder.cpp:557-559: k = min(cluster_count, fg_count))."""
+    rng = np.random.default_rng(seed)
+    bg = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    tex = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    frames = np.empty((n, h, w, 3), np.uint8)
+    for t in range(n):
+        fr = bg.copy()
+        x, y = 65 + 6 * t, 161 - 5 * t
+        fr[y : y + 16, x : x + 16] = tex
+        frames[t] = fr
+    return frames
+
+
+class TestKClampRegime:
+    """The reference clamps k = min(cluster_count, fg_count)
+    (libs/encoder.cpp:557-559); the static-shape design instead always runs
+    ``cluster_count`` centers, with an empty cluster contributing exactly
+    +1 to the block-type offset (its ``cv::connectedComponents`` analog
+    returns 1 label — just the background). This class constructs the
+    0 < fg_count < cluster_count regime and asserts the documented
+    consequences (VERDICT round-2 item 7):
+
+    * the bg/fg classification is identical to the reference (decode only
+      distinguishes 0 vs nonzero, libs/decoder.cpp:128-135),
+    * region STRUCTURE matches: per frame the reference and our block
+      types are related by a bijection (ids permute with cluster order,
+      which is RNG-path dependent — quirk Q7),
+    * on frames where fg_count == 1 both sides are RNG-independent and the
+      ids must agree exactly, offset by +1 per empty cluster preceding the
+      single populated one (here our labels are compact, so byte-equal).
+    """
+
+    @pytest.fixture(scope="class")
+    def kclamp(self):
+        if not _build_harness():
+            pytest.skip("reference e2e harness unavailable")
+        clip = _make_kclamp_clip()
+        n, h, w = clip.shape[0], clip.shape[1], clip.shape[2]
+        # morph 1x1 (identity) so the tiny foreground survives; k = 10
+        ref = subprocess.run(
+            [_HARNESS, str(w), str(h), str(n), "10", "1", "1"],
+            input=clip.tobytes(), capture_output=True, check=True,
+        ).stdout
+        _, ref_bt, _ = _parse_stream(ref)
+        gy, gx = h // 8, w // 8
+        ref_bt = ref_bt.reshape(n - 1, gy, gx)
+
+        from svc_tpu.config import EncoderConfig, VideoProperties
+        from svc_tpu.models.encoder import Encoder
+
+        cfg = EncoderConfig(morph_rect_w=1, morph_rect_h=1)
+        enc = Encoder(cfg, VideoProperties(w, h, n), batch_size=n - 1)
+        out = enc.encode_batch(clip, 0)
+        ours_bt = np.asarray(out["block_types"])  # per MV block
+        ours_exp = np.repeat(np.repeat(ours_bt, 2, 1), 2, 2)
+        fg = np.asarray(out["foreground_mask"])
+        labels = np.asarray(out["cluster_labels"])
+        return ref_bt, ours_exp, fg, labels, cfg.kmeans.cluster_count
+
+    def test_regime_is_exercised(self, kclamp):
+        """Every payload frame must sit in 0 <= fg_count < cluster_count,
+        with at least one frame at fg_count == 1 and one with several."""
+        _, _, fg, _, k = kclamp
+        counts = fg.reshape(fg.shape[0], -1).sum(1)
+        assert counts.max() < k
+        assert (counts == 1).any()
+        assert (counts > 1).any()
+
+    def test_bg_fg_classification_matches_reference(self, kclamp):
+        ref_bt, ours, _, _, _ = kclamp
+        np.testing.assert_array_equal(ref_bt != 0, ours != 0)
+
+    def test_region_structure_bijective(self, kclamp):
+        ref_bt, ours, _, _, _ = kclamp
+        for f in range(ref_bt.shape[0]):
+            pairs = set(
+                zip(ref_bt[f].ravel().tolist(), ours[f].ravel().tolist())
+            )
+            fwd = {}
+            for a, b in pairs:
+                assert fwd.setdefault(a, b) == b, (
+                    f"frame {f}: ref id {a} maps to both {fwd[a]} and {b}"
+                )
+            assert len(set(fwd.values())) == len(fwd), (
+                f"frame {f}: our ids collapse distinct reference ids"
+            )
+
+    def test_single_fg_frames_match_with_empty_offset(self, kclamp):
+        ref_bt, ours, fg, labels, _ = kclamp
+        seen = 0
+        for f in range(ref_bt.shape[0]):
+            if int(fg[f].sum()) != 1:
+                continue
+            seen += 1
+            # reference: k clamps to 1 -> the lone region gets id 1
+            assert set(ref_bt[f][ref_bt[f] != 0].tolist()) == {1}
+            # ours: id = 1 + (#empty clusters before the populated one),
+            # each empty contributing exactly +1 to the offset
+            c = int(labels[f][fg[f]][0])
+            assert set(ours[f][ours[f] != 0].tolist()) == {1 + c}
+        assert seen >= 1
 
 
 def _build_decoder_harness():

@@ -227,3 +227,24 @@ class TestBlockTypesFromClusters:
         btypes, counts = block_types_from_clusters(cl, 3, 4)
         assert not np.asarray(btypes).any()
         np.testing.assert_array_equal(np.asarray(counts), 1)
+
+    def test_empty_cluster_contributes_plus_one_to_offset(self):
+        """The documented k-clamp divergence (models/encoder.py docstring):
+        an empty cluster advances the running block-type offset by exactly
+        1 — the label count ``cv::connectedComponents`` returns on an
+        all-zero mask (just the background label; the reference adds that
+        count to the offset, libs/encoder.cpp:621)."""
+        from svc_tpu.ops.ccl import block_types_from_clusters
+
+        # k=4: clusters 0 and 2 each hold one region; 1 and 3 are empty
+        cl = np.full((1, 6, 8), -1, np.int32)
+        cl[0, 1:3, 1:3] = 0
+        cl[0, 4:6, 5:7] = 2
+        btypes, counts = block_types_from_clusters(jnp.asarray(cl), 4, 4)
+        btypes, counts = np.asarray(btypes[0]), np.asarray(counts[0])
+        # cluster 0 -> id 1, count 2; empty cluster 1 -> count 1 (offset
+        # 2 -> 3); cluster 2 -> id 1 + 3 = 4; empty cluster 3 -> count 1
+        np.testing.assert_array_equal(counts, [2, 1, 2, 1])
+        assert set(btypes[cl[0] == 0].tolist()) == {1}
+        assert set(btypes[cl[0] == 2].tolist()) == {4}
+        assert not btypes[cl[0] < 0].any()
