@@ -4,9 +4,13 @@ Scale-out design (SURVEY.md §2.2/§2.3, BASELINE.json config 5): frames are
 embarrassingly parallel given the previous frame — frame ``t`` depends on
 ``t-1`` only through the *input* pyramid (reference: libs/encoder.cpp:
 661-663, the encoder just swaps pyramids). So a video shards across a TPU
-slice as (tracked, anchor) pair stacks along a ``frames`` mesh axis with no
-cross-device dependency in the hot path; the host materializes the one
-overlap frame per chunk by building both views. Collectives (``psum`` over
+slice as raw packed frame chunks along a ``frames`` mesh axis, each chunk
+carrying a one-frame halo (its first anchor's tracked frame — the last
+frame of the previous chunk, duplicated host-side; ~one frame of extra H2D
+per device). The ENTIRE per-frame transform — de-interleave, pad, luma,
+pyramid, motion, segmentation, DCT — runs inside the ``shard_map`` program:
+no stage ever materializes the full super-batch on one device, and every
+device's H2D transfer is exactly its own chunk. Collectives (``psum`` over
 ICI) are used only for stream-level statistics, never per block.
 
 This replaces what a CUDA/MPI design would do with NCCL ranks: one
@@ -15,7 +19,6 @@ This replaces what a CUDA/MPI design would do with NCCL ranks: one
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
@@ -46,9 +49,11 @@ def make_frame_mesh(n_devices: Optional[int] = None,
 class ShardedEncoder:
     """Encoder whose batch dimension is sharded across a mesh.
 
-    The per-device program is exactly the single-chip pipeline on a local
-    chunk of ``batch_per_device`` frame pairs; ``psum`` aggregates stream
-    statistics (foreground block count, mean RANSAC RMSE) across the slice.
+    The per-device program is exactly the single-chip pipeline
+    (``Encoder.encode_batch_fn`` — frontend included) on a local chunk of
+    ``batch_per_device`` anchor frames plus its one-frame halo; ``psum``
+    aggregates stream statistics (foreground block count, mean RANSAC
+    RMSE) across the slice.
     """
 
     def __init__(
@@ -62,12 +67,14 @@ class ShardedEncoder:
         self.n_devices = mesh.devices.size
         self.batch_per_device = batch_per_device
         self.batch_size = self.n_devices * batch_per_device
-        self.inner = Encoder(cfg, vidprops, batch_size=self.batch_size)
+        # the per-device program: the single-chip pipeline on a local chunk
+        self.inner = Encoder(cfg, vidprops, batch_size=batch_per_device)
 
-        pairs_fn = self.inner.encode_pairs
+        batch_fn = self.inner.encode_batch_fn
 
-        def local_encode(tracked_pyr, anchor_planes, anchor_pyr, keys):
-            out = pairs_fn(tracked_pyr, anchor_planes, anchor_pyr, keys)
+        def local_encode(packed_chunk, keys):
+            # (1, bpd+1, H, W*3) local chunk view -> single-chip program
+            out = batch_fn(packed_chunk[0], keys[0])
             # cross-device stream statistics over ICI
             fg_count = jnp.sum(out["foreground_mask"])
             out["total_foreground_blocks"] = jax.lax.psum(
@@ -78,15 +85,8 @@ class ShardedEncoder:
             )
             return out
 
-        n_levels = cfg.pyr_lvl_count
         shard = P(FRAME_AXIS)
         plane_shard = P(None, FRAME_AXIS)  # (3, T, PH, PW): T is axis 1
-        in_specs = (
-            tuple([shard] * n_levels),  # tracked pyramid levels
-            plane_shard,  # anchor channel planes
-            tuple([shard] * n_levels),  # anchor pyramid levels
-            shard,  # keys
-        )
         out_specs = {
             "coeffs": shard,
             "block_types": shard,
@@ -105,11 +105,12 @@ class ShardedEncoder:
             jax.shard_map(
                 local_encode,
                 mesh=mesh,
-                in_specs=in_specs,
+                in_specs=(shard, shard),
                 out_specs=out_specs,
                 check_vma=False,
             )
         )
+        self._chunk_sharding = NamedSharding(mesh, shard)
 
     @property
     def cfg(self):
@@ -129,32 +130,41 @@ class ShardedEncoder:
 
         return stream_encode(self, frames, **kwargs)
 
+    def chunk_frames(self, frames_bgr: np.ndarray) -> np.ndarray:
+        """Host-side halo chunking: ``(T+1, H, W, 3)`` uint8 frames ->
+        ``(n_devices, bpd+1, H, W*3)`` packed chunks, where chunk ``d``
+        holds anchors ``[d*bpd+1, (d+1)*bpd]`` plus the preceding overlap
+        frame (the halo — the only duplicated data, one frame per device).
+        """
+        n, h, w, c = frames_bgr.shape
+        bpd = self.batch_per_device
+        packed = np.ascontiguousarray(frames_bgr).reshape(n, h, w * c)
+        return np.stack(
+            [
+                packed[d * bpd : d * bpd + bpd + 1]
+                for d in range(self.n_devices)
+            ]
+        )
+
     def encode_batch(self, frames_bgr: np.ndarray, first_anchor_index: int):
         """Encode ``(T+1, H, W, 3)`` uint8 frames, ``T = batch_size``.
 
-        The tracked/anchor pair views duplicate each interior frame once —
-        the per-chunk overlap frame of the sharding design.
+        Every input lands on the mesh pre-sharded (``device_put`` with a
+        frame-axis ``NamedSharding``): each device receives exactly its
+        own chunk — the full super-batch never exists on any one device.
         """
         t = frames_bgr.shape[0] - 1
         if t != self.batch_size:
             raise ValueError(
                 f"sharded batch needs {self.batch_size}+1 frames, got {t}+1"
             )
-        n, h, w, c = frames_bgr.shape
-        packed = jnp.asarray(
-            np.ascontiguousarray(frames_bgr).reshape(n, h, w * c)
+        chunks = jax.device_put(
+            self.chunk_frames(frames_bgr), self._chunk_sharding
         )
-        planes, pyr = self.inner.preprocess(packed)
-        tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
-        anchor_pyr = tuple(lvl[1:] for lvl in pyr)
-        keys = self.inner._keys(first_anchor_index, t)
-
-        sharding = NamedSharding(self.mesh, P(FRAME_AXIS))
-        plane_sharding = NamedSharding(self.mesh, P(None, FRAME_AXIS))
-        put = functools.partial(jax.device_put)
-        tracked_pyr = tuple(put(x, sharding) for x in tracked_pyr)
-        anchor_pyr = tuple(put(x, sharding) for x in anchor_pyr)
-        anchors = put(planes[:, 1:], plane_sharding)
-        keys = put(keys, sharding)
-
-        return self._sharded(tracked_pyr, anchors, anchor_pyr, keys)
+        keys = jax.device_put(
+            self.inner._keys(first_anchor_index, t).reshape(
+                self.n_devices, self.batch_per_device
+            ),
+            self._chunk_sharding,
+        )
+        return self._sharded(chunks, keys)

@@ -82,6 +82,46 @@ class TestShardedEncoder:
         out = sharded.encode_batch(_frames(17), 0)
         assert out["coeffs"].shape[0] == 16
 
+    def test_frontend_runs_inside_the_mesh_program(self, mesh):
+        """VERDICT round-2 #1: de-interleave/pad/luma/pyramid must execute
+        inside shard_map, not as a host-side single-device preprocess. The
+        host path must never call ``inner.preprocess``, and every input
+        must land pre-sharded: one (1, bpd+1, H, W*3) chunk per device."""
+        cfg = _cfg()
+        props = VideoProperties(64, 48, 9)
+        frames = _frames(9)
+        sharded = ShardedEncoder(cfg, props, mesh, batch_per_device=1)
+
+        seen = []
+        real_preprocess = sharded.inner.preprocess
+
+        def spy(packed):
+            seen.append(packed.shape)
+            return real_preprocess(packed)
+
+        sharded.inner.preprocess = spy
+        chunks = sharded.chunk_frames(frames)
+        assert chunks.shape == (8, 2, 48, 64 * 3)
+        # halo: chunk d's first frame is chunk d-1's last anchor
+        for d in range(1, 8):
+            np.testing.assert_array_equal(chunks[d, 0], chunks[d - 1, -1])
+
+        put = jax.device_put(chunks, sharded._chunk_sharding)
+        shards = put.addressable_shards
+        assert len(shards) == 8
+        for s in shards:
+            assert s.data.shape == (1, 2, 48, 64 * 3)
+
+        out = sharded.encode_batch(frames, 0)
+        # preprocess traced ONLY with per-device chunk shapes (bpd+1
+        # frames), never the 9-frame super-batch
+        assert seen and all(s == (2, 48, 64 * 3) for s in seen)
+        single = Encoder(cfg, props, batch_size=8)
+        single_out = single.encode_batch(frames, 0)
+        np.testing.assert_array_equal(
+            np.asarray(out["coeffs"]), np.asarray(single_out["coeffs"])
+        )
+
     def test_wrong_batch_size_raises(self, mesh):
         cfg = _cfg()
         props = VideoProperties(64, 48, 9)
