@@ -17,6 +17,14 @@ The reference is display-only with mouse-driven gaze
                        (frames are data-parallel; identical output)
   --show 1             display frames in an OpenCV window with live mouse
                        gaze (requires cv2), emulating the reference GUI
+  --trace PATH         dump host pipeline spans (parse/dispatch/fetch) as
+                       JSON and print a summary to stderr
+
+The headless path runs the reference decoder's thread layout: a reader
+thread streams fixed-size payloads through a bounded queue (cap 100,
+apps/decoder.cpp:55-88) while the main thread decodes, and the decoder
+keeps one batch in flight so device->host readback overlaps the next
+batch's compute.
 """
 
 from __future__ import annotations
@@ -45,6 +53,7 @@ class _AppConfig:
         self.show = 0
         self.start_frame = 0
         self.max_frames = 0  # 0 = all
+        self.trace: Optional[str] = None
 
 
 def _opts(c: _AppConfig) -> List[cli.Opt]:
@@ -69,6 +78,8 @@ def _opts(c: _AppConfig) -> List[cli.Opt]:
         # are seekable
         cli.Opt("start-frame", U, fs(c, "start_frame")),
         cli.Opt("max-frames", U, fs(c, "max_frames")),
+        # observability
+        cli.Opt("trace", P, fs(c, "trace")),
     ]
 
 
@@ -161,6 +172,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_persistent_cache()
 
+    if cfg.show:
+        # latency over throughput in GUI mode: a single-frame program, so
+        # the first displayed frame doesn't stall behind a batch compile
+        # and the only compiled program is the one the loop uses
+        cfg.batch_size = 1
+        cfg.devices = 0
+
     if cfg.devices > 1:
         import jax
 
@@ -198,11 +216,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 1
-    frames = list(
-        decoder.decode_frames(
-            bitstream.read_frames(stream, header, count), iter(gazes)
+
+    # 2-stage pipeline: reader thread -> decode (main), the reference
+    # decoder's thread layout (apps/decoder.cpp:55-88, queue cap 100) —
+    # stream reads overlap device decode, and decode_frames itself keeps
+    # one batch in flight so D2H readback overlaps the next batch
+    from svc_tpu.runtime.pipeline import BoundedQueue, pipeline_threads
+    from svc_tpu.runtime.tracing import Tracer
+
+    tracer = Tracer(enabled=bool(cfg.trace))
+    frames: List[np.ndarray] = []
+
+    def produce(q: BoundedQueue) -> None:
+        for payload in bitstream.read_frames(stream, header, count):
+            q.push(payload)
+
+    def consume(q: BoundedQueue) -> None:
+        frames.extend(
+            decoder.decode_frames(
+                iter(q), iter(gazes), tracer=tracer if cfg.trace else None
+            )
         )
-    )
+
+    pipeline_threads(produce, consume, capacity=100)
     video = (
         np.stack(frames)
         if frames
@@ -213,6 +249,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         write_npy_video(cfg.output, video)
     print(f"decoded {len(frames)} frames -> {cfg.output}", file=sys.stderr)
+    if cfg.trace:
+        tracer.dump(cfg.trace)
+        print(tracer.report(), file=sys.stderr)
     return 0
 
 
@@ -240,8 +279,7 @@ def _run_gui(cfg, decoder, stream, header, count) -> int:
         for _ in range(count):
             yield (mouse["x"], mouse["y"])
 
-    # latency over throughput in GUI mode: a fresh single-frame decoder
-    decoder = Decoder(decoder.cfg, header, batch_size=1)
+    # main() already built a batch-1 decoder for GUI mode — use it as-is
     for frame in decoder.decode_frames(
         bitstream.read_frames(stream, header, count), gaze_stream()
     ):

@@ -230,18 +230,29 @@ class Decoder:
         self,
         payloads: Iterator[bytes],
         gazes: Optional[Iterator[Optional[Tuple[int, int]]]] = None,
+        tracer=None,
     ) -> Iterator[np.ndarray]:
         """Decode wire payloads into uint8 BGR frames.
 
         Batches are padded to the compiled batch shape; surplus outputs are
         discarded.
+
+        Device->host readback OVERLAPS the next batch's compute, mirroring
+        the encoder's streaming loop (models.encoder.stream_encode): batch
+        ``i``'s outputs are dispatched asynchronously and fetched only
+        after batch ``i+1`` has been enqueued, so the D2H transfer and the
+        host-side parse of ``i+1`` ride alongside device compute — the
+        batched analog of the reference decoder's reader-thread/decode
+        overlap (apps/decoder.cpp:55-88). ``tracer`` records
+        parse/dispatch/fetch spans (runtime.tracing.Tracer).
         """
         batch = self.batch_size
         buf_c: List[np.ndarray] = []
         buf_t: List[np.ndarray] = []
         buf_g: List[Tuple[int, int, int, int]] = []
+        pending = None  # one batch in flight: fetch i while i+1 computes
 
-        def flush(n_valid: int):
+        def dispatch():
             while len(buf_c) < batch:
                 buf_c.append(buf_c[-1])
                 buf_t.append(buf_t[-1])
@@ -251,29 +262,59 @@ class Decoder:
                 jnp.asarray(np.stack(buf_t)),
                 jnp.asarray(np.asarray(buf_g, np.int32)),
             )
+            buf_c.clear()
+            buf_t.clear()
+            buf_g.clear()
+            return out
+
+        def fetch(done):
+            out, n_valid = done
             packed = np.asarray(out)[:n_valid]  # (n, H, W*C)
-            res = packed.reshape(
+            return packed.reshape(
                 packed.shape[0],
                 self.header.frame_h,
                 self.header.frame_w,
                 -1,
             )
-            buf_c.clear()
-            buf_t.clear()
-            buf_g.clear()
-            return res
+
+        def run(n_valid: int):
+            nonlocal pending
+            if tracer is not None:
+                with tracer.span("device_dispatch", frames=n_valid):
+                    out = dispatch()
+            else:
+                out = dispatch()
+            prev, pending = pending, (out, n_valid)
+            if prev is not None:
+                if tracer is not None:
+                    with tracer.span("device_fetch", frames=prev[1]):
+                        yield from fetch(prev)
+                else:
+                    yield from fetch(prev)
 
         for payload in payloads:
-            types, coeffs = bitstream.deserialize_frame_blocks(
-                payload, self.header
-            )
+            if tracer is not None:
+                with tracer.span("parse"):
+                    types, coeffs = bitstream.deserialize_frame_blocks(
+                        payload, self.header
+                    )
+            else:
+                types, coeffs = bitstream.deserialize_frame_blocks(
+                    payload, self.header
+                )
             gaze = next(gazes, None) if gazes is not None else None
             # merged trailing axis: free host view, dense device tiling
             buf_c.append(coeffs.reshape(coeffs.shape[0], coeffs.shape[1], -1))
             buf_t.append(types)
             buf_g.append(self.padded_gaze_rect(gaze))
             if len(buf_c) == batch:
-                yield from flush(batch)
+                yield from run(batch)
 
         if buf_c:
-            yield from flush(len(buf_c))
+            yield from run(len(buf_c))
+        if pending is not None:
+            if tracer is not None:
+                with tracer.span("device_fetch", frames=pending[1]):
+                    yield from fetch(pending)
+            else:
+                yield from fetch(pending)
