@@ -1,9 +1,10 @@
-"""Headline benchmark: 1080p end-to-end encode throughput on one TPU chip.
+"""Headline benchmark: 1080p end-to-end encode throughput on one TPU chip,
+plus the full metric matrix (1080p decode, 4K encode/decode, CIF encode).
 
 Measures the full encoder pipeline (pad -> luma -> 4-level pyramid -> HBMA
 16x16/range-8 -> RANSAC -> morphology -> k-means -> per-cluster CCL ->
 blockwise 8x8 DCT) at the reference's default codec configuration
-(apps/encoder.cpp:28-58) on synthetic 1080p BGR frames.
+(apps/encoder.cpp:28-58) on synthetic BGR frames.
 
 Timing covers the full on-chip pipeline (synced via a device->host fetch of
 an output element each step; ``block_until_ready`` is unreliable on the
@@ -20,9 +21,10 @@ BASELINE.json north-star target of 500 fps/chip, and ``vs_reference``
 against the C++ reference binary measured on this host (6.46 fps 1080p on
 one SSE2 core — BASELINE.md, benchmarks/bench_reference.py).
 
-Prints exactly one JSON line:
+Prints exactly one JSON line; the primary metric keys come first for the
+driver parser, and the full matrix rides in ``extra_metrics``:
   {"metric": "1080p_encode_fps", "value": N, "unit": "frames/s",
-   "vs_baseline": N, "vs_reference": N}
+   "vs_baseline": N, "vs_reference": N, "extra_metrics": [...]}
 """
 
 import json
@@ -33,20 +35,91 @@ import numpy as np
 
 TARGET_FPS = 500.0  # BASELINE.json north-star: >500 fps 1080p per chip
 REFERENCE_FPS = 6.46  # measured C++ reference, 1080p, this host (BASELINE.md)
+REFERENCE_CIF_FPS = 84.8  # measured C++ reference, CIF (BASELINE.md)
 
 
 def make_frames(t, h, w, seed=0):
-    """Synthetic 1080p content: large-scale texture pan + moving objects."""
+    """Synthetic content: large-scale texture pan + moving objects."""
     rng = np.random.default_rng(seed)
     coarse = rng.integers(0, 256, ((h + 256) // 8, (w + 256) // 8))
     base = np.kron(coarse, np.ones((8, 8))).astype(np.float32)
     frames = np.empty((t, h, w, 3), np.uint8)
     for i in range(t):
         f = base[2 * i : 2 * i + h, i : i + w].copy()
-        oy, ox = 200 + 6 * i, 400 + 10 * i
+        oy, ox = h // 5 + 6 * i, w // 5 + 10 * i
         f[oy : oy + 128, ox : ox + 128] = base[:128, :128]
         frames[i] = np.repeat(f[..., None], 3, -1).astype(np.uint8)
     return frames
+
+
+def _sync(out):
+    """Force completion: fetch one element (block_until_ready is a no-op
+    on the tunneled axon queue). Indexing instead of ravel: a full-tensor
+    ravel compiles a relayout the tunneled backend can reject."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][0:1]))
+    return out
+
+
+def _pipeline_fps(step, t, iters):
+    """Steady-state fps: queue ``iters`` batches, sync once — the tunnel's
+    ~33 ms D2H roundtrip is paid per sync, not per batch, in any pipelined
+    deployment."""
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step()
+    _sync(out)
+    return iters * t / (time.perf_counter() - t0)
+
+
+def _encode_fps(h, w, t, iters):
+    """(encode fps, encoder, frames, last outputs) for one geometry."""
+    import jax
+
+    from svc_tpu.config import EncoderConfig, VideoProperties
+    from svc_tpu.models.encoder import Encoder
+
+    cfg = EncoderConfig()
+    enc = Encoder(cfg, VideoProperties(w, h, t + 1), batch_size=t)
+    frames = make_frames(t + 1, h, w)
+    keys = enc._keys(0, t)
+    fdev = jax.device_put(frames.reshape(t + 1, h, w * 3))
+
+    t0 = time.perf_counter()
+    out = _sync(enc._encode_batch(fdev, keys))
+    print(
+        f"[{w}x{h}] compile+first batch: {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    _sync(enc._encode_batch(fdev, keys))
+    fps = _pipeline_fps(lambda: enc._encode_batch(fdev, keys), t, iters)
+    return fps, enc, fdev, keys, out
+
+
+def _decode_fps(enc, out, t, iters, gaze=True):
+    """Decode fps on the encoder's own coefficient batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from svc_tpu.config import DecoderConfig
+    from svc_tpu.models.decoder import Decoder
+
+    cfg = enc.cfg
+    dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)
+    ry = cfg.mv_block_h // cfg.transform_block_h
+    rx = cfg.mv_block_w // cfg.transform_block_w
+    btypes = jnp.repeat(jnp.repeat(out["block_types"], ry, 1), rx, 2)
+    h, w = enc.vidprops.frame_h, enc.vidprops.frame_w
+    rect = [w // 3, h // 3, 128, 128] if gaze else [0, 0, 0, 0]
+    rects = jax.device_put(np.tile(np.array(rect, np.int32), (t, 1)))
+    coeffs = out["coeffs"]
+    _sync(dec._decode_batch(coeffs, btypes, rects))
+    return _pipeline_fps(
+        lambda: dec._decode_batch(coeffs, btypes, rects), t, iters
+    )
 
 
 def main():
@@ -56,105 +129,75 @@ def main():
 
     enable_persistent_cache()
 
-    from svc_tpu.config import EncoderConfig, VideoProperties
-    from svc_tpu.models.encoder import Encoder
-
-    t, h, w = 16, 1080, 1920
-    cfg = EncoderConfig()
-    props = VideoProperties(frame_w=w, frame_h=h, frame_count=t + 1)
-    enc = Encoder(cfg, props, batch_size=t)
-
-    frames = make_frames(t + 1, h, w)
-    keys = enc._keys(0, t)
-
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    def sync(out):
-        # force completion: fetch one element (block_until_ready is a
-        # no-op on the tunneled axon queue). Indexing instead of ravel:
-        # a full-tensor ravel compiles a relayout of the output, which
-        # the tunneled backend rejects for some layouts.
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][0:1]))
-        return out
+    extra = []
 
-    # packed (N, H, W*3) form: dense device tiling (Encoder.preprocess)
-    frames_dev = jax.device_put(frames.reshape(t + 1, h, w * 3), dev)
-
-    def step():
-        return sync(enc._encode_batch(frames_dev, keys))
-
-    # compile + warm up
-    t0 = time.perf_counter()
-    out = step()
-    print(
-        f"compile+first batch: {time.perf_counter() - t0:.1f}s",
-        file=sys.stderr,
-    )
-    step()
-
-    # steady state, on-chip pipeline: queue several batches and sync once —
-    # the tunnel's ~33 ms D2H roundtrip is paid per sync, not per batch, in
-    # any pipelined deployment
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = enc._encode_batch(frames_dev, keys)
-    sync(out)
-    dt = time.perf_counter() - t0
-    fps = iters * t / dt
+    # ---- primary: 1080p encode --------------------------------------
+    t1080 = 16
+    fps, enc, fdev, keys, out = _encode_fps(1080, 1920, t1080, iters=10)
+    print(f"1080p encode: {fps:.1f} fps (on-chip)", file=sys.stderr)
 
     # tunnel-inclusive number for visibility (dev-env artifact: ~0.2 GB/s)
     t0 = time.perf_counter()
-    sync(
-        enc._encode_batch(
-            jax.device_put(frames.reshape(t + 1, h, w * 3), dev), keys
+    _sync(enc._encode_batch(jax.device_put(np.asarray(fdev)), keys))
+    print(
+        f"  incl. tunnel H2D: {t1080 / (time.perf_counter() - t0):.1f} fps",
+        file=sys.stderr,
+    )
+
+    # ---- matrix ------------------------------------------------------
+    try:
+        dfps = _decode_fps(enc, out, t1080, iters=8)
+        print(f"1080p decode: {dfps:.1f} fps", file=sys.stderr)
+        extra.append(
+            {
+                "metric": "1080p_gaze_decode_fps",
+                "value": round(dfps, 2),
+                "unit": "frames/s",
+            }
         )
-    )
-    fps_h2d = t / (time.perf_counter() - t0)
-    print(
-        f"steady-state: {fps:.1f} fps (on-chip) / {fps_h2d:.1f} fps "
-        f"(incl. tunnel H2D)",
-        file=sys.stderr,
-    )
+    except Exception as e:  # never lose the primary line
+        print(f"1080p decode bench failed: {e}", file=sys.stderr)
 
-    # decoder throughput (stderr, informational): gaze/region dequant +
-    # IDCT + merge + resize on the same batch
-    from svc_tpu.config import DecoderConfig
-    from svc_tpu.models.decoder import Decoder
+    try:
+        t4k = 8
+        fps4, enc4, _, _, out4 = _encode_fps(2160, 3840, t4k, iters=6)
+        print(f"4K encode: {fps4:.1f} fps", file=sys.stderr)
+        extra.append(
+            {
+                "metric": "4k_encode_fps",
+                "value": round(fps4, 2),
+                "unit": "frames/s",
+            }
+        )
+        dfps4 = _decode_fps(enc4, out4, t4k, iters=6)
+        print(f"4K gaze decode: {dfps4:.1f} fps", file=sys.stderr)
+        extra.append(
+            {
+                "metric": "4k_gaze_decode_fps",
+                "value": round(dfps4, 2),
+                "unit": "frames/s",
+            }
+        )
+        del enc4, out4
+    except Exception as e:
+        print(f"4K bench failed: {e}", file=sys.stderr)
 
-    import jax.numpy as jnp
-
-    dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)
-    # synthetic wire-layout inputs staged fresh on device: decode cost is
-    # content-independent (every op is dense), and feeding the encoder's
-    # live output buffers here intermittently trips the tunneled
-    # backend's layout handling after the long encode run
-    hdr = enc.header()
-    nby = hdr.padded_frame_h // cfg.transform_block_h
-    nbx = hdr.padded_frame_w // cfg.transform_block_w
-    drng = np.random.default_rng(1)
-    payload = 3 * cfg.transform_block_h * cfg.transform_block_w
-    coeffs = jax.device_put(
-        (drng.normal(size=(t, nby, nbx, payload)) * 50).astype(np.float32),
-        dev,
-    )
-    btypes = jax.device_put(
-        drng.integers(0, 4, (t, nby, nbx)).astype(np.uint32), dev
-    )
-    rects = jax.device_put(
-        np.tile(np.array([600, 400, 128, 128], np.int32), (t, 1)), dev
-    )
-    sync(dec._decode_batch(coeffs, btypes, rects))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        dout = dec._decode_batch(coeffs, btypes, rects)
-    sync(dout)  # queued batches, one sync: same pipelined-view rationale
-    print(
-        f"decode: {5 * t / (time.perf_counter() - t0):.1f} fps (on-chip)",
-        file=sys.stderr,
-    )
+    try:
+        fps_cif, _, _, _, _ = _encode_fps(288, 352, 32, iters=10)
+        print(f"CIF encode: {fps_cif:.1f} fps", file=sys.stderr)
+        extra.append(
+            {
+                "metric": "cif_encode_fps",
+                "value": round(fps_cif, 2),
+                "unit": "frames/s",
+                "vs_reference": round(fps_cif / REFERENCE_CIF_FPS, 2),
+            }
+        )
+    except Exception as e:
+        print(f"CIF bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -164,6 +207,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
                 "vs_reference": round(fps / REFERENCE_FPS, 2),
+                "extra_metrics": extra,
             }
         )
     )

@@ -57,10 +57,17 @@ def main():
     keys = enc._keys(0, t)
 
     out = sync(enc._encode_batch(fdev, keys))
+    sync(enc._encode_batch(fdev, keys))
+    # queued batches, ONE sync — the same pipelined-view methodology as
+    # bench.py: the tunnel's ~33 ms D2H roundtrip is an environment
+    # artifact paid per sync, not per batch, in any pipelined deployment
+    # (syncing each batch was understating 4K throughput ~1.5x)
+    iters = 6
     t0 = time.perf_counter()
-    for _ in range(3):
-        out = sync(enc._encode_batch(fdev, keys))
-    enc_fps = 3 * t / (time.perf_counter() - t0)
+    for _ in range(iters):
+        out = enc._encode_batch(fdev, keys)
+    sync(out)
+    enc_fps = iters * t / (time.perf_counter() - t0)
 
     dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)
     ry = cfg.mv_block_h // cfg.transform_block_h
@@ -79,9 +86,10 @@ def main():
     )
     sync(dec._decode_batch(out["coeffs"], btypes, rects))
     t0 = time.perf_counter()
-    for _ in range(3):
-        sync(dec._decode_batch(out["coeffs"], btypes, rects))
-    dec_fps = 3 * t / (time.perf_counter() - t0)
+    for _ in range(iters):
+        dout = dec._decode_batch(out["coeffs"], btypes, rects)
+    sync(dout)
+    dec_fps = iters * t / (time.perf_counter() - t0)
 
     print(
         f"4K encode: {enc_fps:.1f} fps/chip | 4K gaze decode: "

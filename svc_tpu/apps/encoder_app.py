@@ -179,6 +179,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             props,
             make_frame_mesh(cfg.devices),
             batch_per_device=cfg.batch_size,
+            keep_planes=bool(cfg.visualize or cfg.show),
         )
         if cfg.verbose:
             print(
@@ -187,7 +188,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 file=sys.stderr,
             )
     else:
-        encoder = Encoder(cfg.encoder, props, batch_size=cfg.batch_size)
+        # the visualizers are the only consumers of the padded planes
+        # output; plain encodes drop it (saves the output materialization)
+        encoder = Encoder(
+            cfg.encoder,
+            props,
+            batch_size=cfg.batch_size,
+            keep_planes=bool(cfg.visualize or cfg.show),
+        )
 
     if cfg.visualize:
         from svc_tpu.visualize import VisualizingEncoder

@@ -56,7 +56,7 @@ from svc_tpu.ops.dct_pallas import (
 )
 from svc_tpu.ops.kmeans import kmeans_t
 from svc_tpu.ops.morphology import close_then_open
-from svc_tpu.ops.motion import hbma
+from svc_tpu.ops.motion import hbma_stack
 from svc_tpu.ops.pad import pad_frame, padded_dims
 from svc_tpu.ops.pyramid import build_pyramid
 from svc_tpu.ops.ransac import estimate_global_motion_ransac, iter_count
@@ -69,6 +69,10 @@ class Encoder:
       cfg: validated ``EncoderConfig``.
       vidprops: source video properties (apps/encoder.cpp:198-204).
       batch_size: anchor frames encoded per compiled step.
+      keep_planes: include the padded channel planes in the outputs
+        (``padded_planes``, the full ``(3, T+1, PH, PW)`` stack). Only the
+        visualizer consumes them; materializing the 100 MB/batch output
+        costs ~0.3 ms at 1080p, so the default drops it.
     """
 
     def __init__(
@@ -76,10 +80,12 @@ class Encoder:
         cfg: EncoderConfig,
         vidprops: VideoProperties,
         batch_size: int = 8,
+        keep_planes: bool = False,
     ):
         self.cfg = cfg
         self.vidprops = vidprops
         self.batch_size = batch_size
+        self.keep_planes = keep_planes
 
         self.padded_w, self.padded_h = padded_dims(
             vidprops.frame_w,
@@ -138,8 +144,9 @@ class Encoder:
                 "cluster_labels": None,
                 "global_motion": None,
                 "ransac_rmse": None,
-                "padded_planes": None,
             }
+            if self.keep_planes:
+                out_shardings["padded_planes"] = None
             return {
                 "in_shardings": (fmt(3), None),
                 "out_shardings": out_shardings,
@@ -152,28 +159,21 @@ class Encoder:
     # ------------------------------------------------------------------
 
     def _build_encode_pairs(self):
-        """The shardable core: encode explicit (tracked, anchor) stacks.
+        """The shardable core: encode a frame-stack pyramid.
 
-        Every pair is independent — the basis for both single-chip batching
-        and frame-parallel multi-chip sharding (svc_tpu.parallel.sharding).
+        Every (tracked, anchor) pair is independent — the basis for both
+        single-chip batching and frame-parallel multi-chip sharding
+        (svc_tpu.parallel.sharding). Motion runs on the FULL stack through
+        ``hbma_stack`` (frame pairing lives in the kernel's index maps, so
+        no tracked/anchor pyramid slices are ever materialized); the
+        per-frame segmentation tail is vmapped over the resulting fields.
         """
         cfg = self.cfg
         mfh, mfw = self.mv_field_h, self.mv_field_w
         k = cfg.kmeans.cluster_count
 
-        def per_pair(
-            tracked_pyr: Sequence[jnp.ndarray],
-            anchor_pyr: Sequence[jnp.ndarray],
-            key: jnp.ndarray,
-        ):
-            """Motion + segmentation for one (tracked, anchor) frame pair."""
-            mv, _ = hbma(
-                list(tracked_pyr),
-                list(anchor_pyr),
-                cfg.mv_search_range,
-                cfg.mv_block_w,
-                cfg.mv_block_h,
-            )
+        def per_pair(mv: jnp.ndarray, key: jnp.ndarray):
+            """Segmentation for one frame's motion field."""
             k_ransac, k_kmeans = jax.random.split(key)
             gm, rmse, inliers = estimate_global_motion_ransac(
                 mv, cfg.ransac, k_ransac
@@ -218,27 +218,33 @@ class Encoder:
             )
             labels = labels.reshape(mfh, mfw)
 
-            return mv, fg_raw, fg, labels, gm, rmse
+            return fg_raw, fg, labels, gm, rmse
 
         def encode_pairs(
-            tracked_pyr: Tuple[jnp.ndarray, ...],
-            anchor_planes: jnp.ndarray,
-            anchor_pyr: Tuple[jnp.ndarray, ...],
+            pyr_stack: Tuple[jnp.ndarray, ...],
+            planes: jnp.ndarray,
             keys: jnp.ndarray,
         ):
-            """Encode ``T`` explicit (tracked, anchor) pairs.
+            """Encode ``T`` (tracked, anchor) pairs from a stack pyramid.
 
             Args:
-              tracked_pyr / anchor_pyr: per-level ``(T, h_l, w_l)`` luma
-                pyramids.
-              anchor_planes: ``(3, T, PH, PW)`` uint8 padded anchor channel
-                planes, order B, G, R (= ``cv::split`` order) — also the
-                DCT input (see dct2_planes_to_wire).
+              pyr_stack: per-level ``(T+1, h_l, w_l)`` luma pyramids of the
+                full frame stack; frame ``t`` is tracked against anchor
+                ``t+1`` (libs/encoder.cpp:661-663).
+              planes: ``(3, T+1, PH, PW)`` uint8 padded channel planes of
+                the full stack, order B, G, R (= ``cv::split`` order) —
+                frames ``1:`` are the DCT input, consumed via the DCT
+                kernel's frame-offset index maps so the anchor slice is
+                never materialized (see dct2_planes_to_wire_pallas).
               keys: ``(T,)`` PRNG keys.
             """
-            mv, fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(
-                tracked_pyr, anchor_pyr, keys
+            mv, _ = hbma_stack(
+                list(pyr_stack),
+                cfg.mv_search_range,
+                cfg.mv_block_w,
+                cfg.mv_block_h,
             )
+            fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(mv, keys)
 
             # per-cluster connected components -> block types
             # (libs/encoder.cpp:597-623), one fused batched propagation over
@@ -261,18 +267,19 @@ class Encoder:
                 cfg.transform_block_w, cfg.transform_block_h,
             ):
                 coeffs = dct2_planes_to_wire_pallas(
-                    anchor_planes,
+                    planes,
                     cfg.transform_block_w,
                     cfg.transform_block_h,
+                    frame_offset=1,
                 )
             else:
                 coeffs = dct2_planes_to_wire(
-                    anchor_planes,
+                    planes[:, 1:],
                     cfg.transform_block_w,
                     cfg.transform_block_h,
                 )
 
-            return {
+            out = {
                 "coeffs": coeffs,
                 "block_types": btypes,
                 "mv_field": mv,
@@ -281,8 +288,13 @@ class Encoder:
                 "cluster_labels": labels,
                 "global_motion": gm,
                 "ransac_rmse": rmse,
-                "padded_planes": anchor_planes,
             }
+            if self.keep_planes:
+                # FULL stack (3, T+1, PH, PW): frame 0 is the overlap
+                # frame; consumers index [:, 1:] for anchors (keeping the
+                # stack whole avoids a 100 MB/batch output slice copy)
+                out["padded_planes"] = planes
+            return out
 
         return encode_pairs
 
@@ -326,11 +338,7 @@ class Encoder:
               keys: ``(T,)`` PRNG keys, one per anchor frame.
             """
             planes, pyr = self.preprocess(packed_bgr)
-            tracked_pyr = tuple(lvl[:-1] for lvl in pyr)
-            anchor_pyr = tuple(lvl[1:] for lvl in pyr)
-            return self.encode_pairs(
-                tracked_pyr, planes[:, 1:], anchor_pyr, keys
-            )
+            return self.encode_pairs(pyr, planes, keys)
 
         return encode_batch
 

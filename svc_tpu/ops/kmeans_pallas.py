@@ -61,7 +61,7 @@ def _make_lloyd_kernel(
     unchunked kernel."""
     nc = n // cs
 
-    def kernel(x_ref, m_ref, c0_ref, tril_ref, lab_ref, cen_ref, cmp_ref, fo_ref, cand_ref, pd2_ref):
+    def kernel(x_ref, m_ref, c0_ref, tril_ref, lab_ref, cen_ref, cmp_ref, fo_ref, cand_ref, pd2_ref, work_ref, done_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         row16 = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, 1), 0)
         rowCS = jax.lax.broadcasted_iota(jnp.int32, (_KPAD, cs), 0)
@@ -91,97 +91,106 @@ def _make_lloyd_kernel(
             return xs, mv, lab, pd2
 
         for a in range(attempts):
-            cen = c0_ref[0, a]  # (16, 128) f32, cols >= d zero
-            done = jnp.float32(0.0)
+            work_ref[...] = c0_ref[0, a]  # (16, 128) f32, cols >= d zero
+            done_ref[0, 0] = jnp.float32(0.0)
             for _ in range(max_iter):
-                sums = None
-                for ch in range(nc):
-                    xs, mv, lab, pd2 = assign_chunk(cen, ch)
-                    onehot = (
-                        (rowCS == lab).astype(jnp.float32) * mv
-                    )  # (16, cs)
-                    p = jax.lax.dot_general(
-                        onehot, xs, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (16, 8): cols 0..d-1 sums, col d counts
-                    sums = p if sums is None else sums + p
-                    # parked for the (rare, predicated) repair pass
-                    pd2_ref[:, ch * cs : (ch + 1) * cs] = pd2
-                counts = sums[:, d : d + 1]  # (16, 1)
-                newc = sums / jnp.maximum(counts, 1.0)
-                newc = jnp.pad(newc, ((0, 0), (0, 128 - newc.shape[1])))
-                newc = newc * dim_cols  # zero the count/padding columns
-
-                empty = ((counts == 0.0).astype(jnp.float32)) * real_row
-                cand_ref[...] = newc
-
-                @pl.when(jnp.sum(empty) > 0.0)
-                def _repair():
-                    # farthest-point one-hot rows (sequential masked
-                    # argmax, same picks as ops/kmeans.py's take_far for
-                    # used ranks) — predicated out entirely on the common
-                    # no-empty-cluster iteration
-                    maskv = m_ref[...]
-                    d2left = jnp.where(maskv > 0, pd2_ref[...], -1.0)
-                    for m in range(k):
-                        mx = jnp.max(d2left)
-                        fi = jnp.min(jnp.where(d2left >= mx, lane, n))
-                        fo_ref[m : m + 1, :] = (lane == fi).astype(
-                            jnp.float32
-                        )
-                        d2left = jnp.where(lane == fi, -1.0, d2left)
-                    for m in range(k, _KPAD):
-                        fo_ref[m : m + 1, :] = jnp.zeros(
-                            (1, n), jnp.float32
-                        )
-                    farv = jax.lax.dot_general(
-                        fo_ref[...], x_ref[...], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (16, 8); row m = coords of m-th farthest point
-                    farv = jnp.pad(
-                        farv, ((0, 0), (0, 128 - farv.shape[1]))
-                    )
-                    farv = farv * dim_cols
-
-                    # empty_rank = cumsum(empty) - 1, via triangular matmul
-                    er = (
-                        jax.lax.dot_general(
-                            tril_c, empty, (((1,), (0,)), ((), ())),
+                # TRUE early exit: a converged attempt skips the whole
+                # iteration body (the XLA loop only freezes the selects,
+                # so it still pays every pass; measured on real content
+                # most attempts converge in < max_iter iterations)
+                @pl.when(done_ref[0, 0] == 0.0)
+                def _iteration():
+                    cen = work_ref[...]
+                    sums = None
+                    for ch in range(nc):
+                        xs, mv, lab, pd2 = assign_chunk(cen, ch)
+                        onehot = (
+                            (rowCS == lab).astype(jnp.float32) * mv
+                        )  # (16, cs)
+                        p = jax.lax.dot_general(
+                            onehot, xs, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST,
+                        )  # (16, 8): cols 0..d-1 sums, col d counts
+                        sums = p if sums is None else sums + p
+                        # parked for the (rare, predicated) repair pass
+                        pd2_ref[:, ch * cs : (ch + 1) * cs] = pd2
+                    counts = sums[:, d : d + 1]  # (16, 1)
+                    newc = sums / jnp.maximum(counts, 1.0)
+                    newc = jnp.pad(
+                        newc, ((0, 0), (0, 128 - newc.shape[1]))
+                    )
+                    newc = newc * dim_cols  # zero count/padding columns
+
+                    empty = ((counts == 0.0).astype(jnp.float32)) * real_row
+                    cand_ref[...] = newc
+
+                    @pl.when(jnp.sum(empty) > 0.0)
+                    def _repair():
+                        # farthest-point one-hot rows (sequential masked
+                        # argmax, same picks as ops/kmeans.py's take_far
+                        # for used ranks) — predicated out entirely on the
+                        # common no-empty-cluster iteration
+                        maskv = m_ref[...]
+                        d2left = jnp.where(maskv > 0, pd2_ref[...], -1.0)
+                        for m in range(k):
+                            mx = jnp.max(d2left)
+                            fi = jnp.min(jnp.where(d2left >= mx, lane, n))
+                            fo_ref[m : m + 1, :] = (lane == fi).astype(
+                                jnp.float32
+                            )
+                            d2left = jnp.where(lane == fi, -1.0, d2left)
+                        for m in range(k, _KPAD):
+                            fo_ref[m : m + 1, :] = jnp.zeros(
+                                (1, n), jnp.float32
+                            )
+                        farv = jax.lax.dot_general(
+                            fo_ref[...], x_ref[...],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (16, 8); row m = m-th farthest point coords
+                        farv = jnp.pad(
+                            farv, ((0, 0), (0, 128 - farv.shape[1]))
                         )
-                        - 1.0
-                    )  # (16, 1)
-                    rep_sel = (
-                        er
-                        == jax.lax.broadcasted_iota(
-                            jnp.int32, (_KPAD, _KPAD), 1
+                        farv = farv * dim_cols
+
+                        # empty_rank = cumsum(empty) - 1 (triangular dot)
+                        er = (
+                            jax.lax.dot_general(
+                                tril_c, empty, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                            - 1.0
+                        )  # (16, 1)
+                        rep_sel = (
+                            er
+                            == jax.lax.broadcasted_iota(
+                                jnp.int32, (_KPAD, _KPAD), 1
+                            ).astype(jnp.float32)
                         ).astype(jnp.float32)
+                        rep = jax.lax.dot_general(
+                            rep_sel, farv, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # (16, 128): row j = farv[empty_rank_j]
+                        cand_ref[...] = jnp.where(empty > 0, rep, newc)
+
+                    cand = cand_ref[...]
+
+                    shift2 = jnp.max(
+                        jnp.sum((cand - cen) ** 2, axis=1, keepdims=True)
+                        * real_row
+                    )
+                    # the update that sets done still applies (the XLA
+                    # loop's freeze uses the PREVIOUS done flag)
+                    work_ref[...] = cand
+                    done_ref[0, 0] = (
+                        shift2 <= jnp.float32(epsilon) ** 2
                     ).astype(jnp.float32)
-                    rep = jax.lax.dot_general(
-                        rep_sel, farv, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (16, 128): row j = farv[empty_rank_j]
-                    cand_ref[...] = jnp.where(empty > 0, rep, newc)
 
-                cand = cand_ref[...]
-
-                shift2 = jnp.max(
-                    jnp.sum((cand - cen) ** 2, axis=1, keepdims=True)
-                    * real_row
-                )
-                new_done = jnp.maximum(
-                    done,
-                    (shift2 <= jnp.float32(epsilon) ** 2).astype(
-                        jnp.float32
-                    ),
-                )
-                cen = jnp.where(done > 0, cen, cand)
-                done = new_done
-
+            cen = work_ref[...]
             total = None
             for ch in range(nc):
                 _, _, lab, pd2 = assign_chunk(cen, ch)
@@ -269,6 +278,8 @@ def lloyd_pallas(
             pltpu.VMEM((_KPAD, n), jnp.float32),
             pltpu.VMEM((_KPAD, 128), jnp.float32),
             pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((_KPAD, 128), jnp.float32),  # working centers
+            pltpu.SMEM((1, 1), jnp.float32),  # per-attempt done flag
         ],
     )(
         x_aug,

@@ -266,8 +266,11 @@ def _refine_select(
     The candidate axis is a small static count, so the replay is unrolled
     (one fused pass) instead of a ``lax.scan`` — the scan's per-iteration
     carry writes cost ~1 ms/level per 16-frame 1080p batch.
+
+    Works unbatched (``(mfh, mfw, 2)`` fields) or batched over leading
+    axes (``hbma_stack``): block coordinates broadcast from the right.
     """
-    mfh, mfw = mv_field.shape[:2]
+    mfh, mfw = mv_field.shape[-3:-1]
     by = jnp.arange(mfh, dtype=jnp.int32)[:, None] * block_h
     bx = jnp.arange(mfw, dtype=jnp.int32)[None, :] * block_w
     mv_round = jnp.round(mv_field).astype(jnp.int32)
@@ -640,6 +643,93 @@ def hbma(
             min_mad,
             bound_in=bound_in,
         )
+        bound = bound_in + top_range
+    return mv, min_mad
+
+
+def hbma_stack(
+    pyramid_stack: Sequence[jnp.ndarray],
+    search_range: int,
+    block_w: int,
+    block_h: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical block matching over a FULL frame-stack pyramid.
+
+    Batched form of :func:`hbma` for the encoder's hot path: each level is
+    a ``(T+1, h_l, w_l)`` stack where frame ``t`` is tracked against
+    anchor ``t+1`` (the reference's pyramid swap, libs/encoder.cpp:
+    661-663). The refinement levels run through ONE stack-wide Pallas
+    program (``refine_mads_stack_pallas``) whose tracked tiles and anchor
+    blocks are views of a shared cell tensor — no tracked/anchor slice
+    copies of the pyramid, no per-frame window prep (both measured
+    hot in the encode profile). Semantics are identical to
+    ``vmap(hbma)`` over the sliced pyramids (asserted in test_motion).
+
+    Returns ``(mv (T, mfh, mfw, 2), min_mad (T, mfh, mfw))``.
+    """
+    level_count = len(pyramid_stack)
+    factor = 1 << (level_count - 1)
+    if search_range < factor:
+        raise ValueError(
+            "search range must be >= the top level reduction factor"
+        )
+    if block_w % factor or block_h % factor:
+        raise ValueError(
+            "block dims must be divisible by the top level reduction factor"
+        )
+    top_range = search_range // factor
+
+    top = pyramid_stack[-1]
+    mv, min_mad = jax.vmap(
+        lambda tr, an: ebma(
+            tr, an, top_range, block_w // factor, block_h // factor
+        )
+    )(top[:-1], top[1:])
+
+    from svc_tpu.ops.motion_pallas import (
+        refine_mads_stack_pallas,
+        stack_refine_supported,
+    )
+
+    bound = top_range
+    for lvl in range(level_count - 2, -1, -1):
+        scale = 1 << lvl
+        mv = mv * 2.0
+        bound_in = 2 * bound
+        stack = pyramid_stack[lvl]
+        bw, bh = block_w // scale, block_h // scale
+        fh, fw = stack.shape[1:]
+        mfh, mfw = fh // bh, fw // bw
+        r = top_range
+        if stack_refine_supported(mfh, mfw, bw, bh, r, bound_in):
+            area = float(bw * bh)
+            mv_round = jnp.round(mv).astype(jnp.int32)
+            mv_yx = jnp.stack(
+                [
+                    mv_round[..., 1][:, :, None, :],
+                    mv_round[..., 0][:, :, None, :],
+                ],
+                axis=2,
+            )  # (T, mfh, 2, 1, mfw): y then x
+            sads = refine_mads_stack_pallas(
+                stack, mv_yx, r, bound_in, bw, bh
+            )
+            ncand = (2 * r + 1) ** 2
+            mads = [
+                sads[:, :, i, :].astype(jnp.float32) / jnp.float32(area)
+                for i in range(ncand)
+            ]
+            # _refine_select broadcasts (mfh, 1)/(1, mfw) block coordinates
+            # against the batched (T, mfh, mfw) fields directly
+            mv, min_mad = _refine_select(
+                mads, mv, min_mad, r, bw, bh, fh, fw
+            )
+        else:
+            mv, min_mad = jax.vmap(
+                lambda tr, an, m, mm: _refine_spread(
+                    tr, an, r, bw, bh, m, mm, bound_in=bound_in
+                )
+            )(stack[:-1], stack[1:], mv, min_mad)
         bound = bound_in + top_range
     return mv, min_mad
 

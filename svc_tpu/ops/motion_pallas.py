@@ -650,3 +650,251 @@ def fused_refine_supported(
         and bound_in % 2 == 0
         and cells_bytes <= 2 * 1024 * 1024
     )
+
+
+# ---------------------------------------------------------------------------
+# Stack refine kernel — the production encoder's motion path
+# ---------------------------------------------------------------------------
+#
+# Same algorithm as refine_mads_pallas, but over the FULL (T+1)-frame level
+# stack at once: frame t's tracked plane and frame t+1's anchor blocks are
+# both BlockSpec views of ONE shared block-pitched cell tensor, with the
+# frame pairing expressed in the index maps (ti vs ti+1). This deletes the
+# per-frame prep that dominated the measured encode profile: no tracked/
+# anchor slice copies of the pyramid (lvl[:-1] / lvl[1:]), no per-frame
+# pitched-plane concat, no separate anchor transpose — one pad + transpose
+# + part-concat pass over the stack feeds every (frame, block-row) program.
+
+
+def _make_stack_refine_kernel(
+    r: int,
+    bound_in: int,
+    bh: int,
+    bw: int,
+    row_pad: int,
+    col_pad: int,
+    n_tiles: int,
+    two_stage: bool,
+):
+    """Kernel factory for :func:`refine_mads_stack_pallas`.
+
+    ``row_pad``/``col_pad`` are the block-aligned paddings of the cell
+    tensor (raw pixel (0, 0) sits at cell row ``row_pad``, cell column
+    ``col_pad``); selection offsets below are absolute in that frame.
+    """
+    side = 2 * r + 1
+    wh, ww = bh + 2 * r, bw + 2 * r
+    shifts = list(range(-bound_in, bound_in + 1, 2)) or [0]
+    amax = bound_in - 2
+    coarse = list(range(-amax, amax + 1, 6)) if two_stage else []
+    fine = (-2, 0, 2)
+
+    def kernel(*refs):
+        views = refs[:n_tiles]
+        a_ref, m_ref, o_ref = refs[n_tiles : n_tiles + 3]
+        scratches = refs[n_tiles + 3 :]
+        mvy = m_ref[0, 0, 0:1, :, :]  # (1, 1, mfw) int32
+        mvx = m_ref[0, 0, 1:2, :, :]
+
+        def rows(lo, size):
+            """Cell rows [lo, lo+size) straight from the row-tile views."""
+            pieces = []
+            off = lo
+            while off < lo + size:
+                t = off // bh
+                take = min((t + 1) * bh, lo + size) - off
+                pieces.append(
+                    views[t][0, off - t * bh : off - t * bh + take]
+                )
+                off += take
+            if len(pieces) == 1:
+                return pieces[0]
+            return jnp.concatenate(pieces, axis=0)
+
+        if two_stage:
+            rc_scr, rf_scr, cc_scr = scratches
+
+            def coarse_of(mv):
+                mag = (jnp.abs(mv) + 3) // 6 * 6
+                return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
+
+            ay, ax = coarse_of(mvy), coarse_of(mvx)
+            fy, fx = mvy - ay, mvx - ax  # in {-2, 0, 2}
+
+            inter = None
+            for a in coarse:
+                sl = rows(row_pad + a - 2 - r, wh + 4)
+                inter = (
+                    sl if inter is None else jnp.where(ay == a, sl, inter)
+                )
+            rc_scr[...] = inter
+
+            rc = rc_scr[...]
+            winf = None
+            for f in fine:
+                sl = rc[2 + f : 2 + f + wh, :, :]
+                winf = sl if winf is None else jnp.where(fy == f, sl, winf)
+            rf_scr[...] = winf
+
+            rf = rf_scr[...]
+            cinter = None
+            for a in coarse:
+                sl = rf[:, col_pad + a - 2 - r : col_pad + a - 2 - r + ww + 4]
+                cinter = (
+                    sl if cinter is None else jnp.where(ax == a, sl, cinter)
+                )
+            cc_scr[...] = cinter
+
+            cc = cc_scr[...]
+            out = None
+            for f in fine:
+                sl = cc[:, 2 + f : 2 + f + ww, :]
+                out = sl if out is None else jnp.where(fx == f, sl, out)
+        else:
+            (win_scr,) = scratches
+            win = None
+            for s in shifts:
+                sl = rows(row_pad + s - r, wh)
+                win = sl if win is None else jnp.where(mvy == s, sl, win)
+            win_scr[...] = win
+
+            wr = win_scr[...]
+            out = None
+            for s in shifts:
+                sl = wr[:, col_pad + s - r : col_pad + s - r + ww, :]
+                out = sl if out is None else jnp.where(mvx == s, sl, out)
+
+        # anchor view is a full-cell-width window (the (8, 128) block-shape
+        # tiling rule disallows a bw-wide block axis for small bw); the
+        # block's own columns sit at [col_pad, col_pad + bw)
+        a_blk = a_ref[0, :, col_pad : col_pad + bw, :].astype(jnp.int32)
+        o_ref[...] = jnp.zeros_like(o_ref)
+        i = 0
+        for oy in range(side):
+            for ox in range(side):
+                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
+                o_ref[0, 0, i : i + 1, :] = sad[None, :]
+                i += 1
+
+    return kernel
+
+
+def refine_mads_stack_pallas(
+    stack: jnp.ndarray,
+    mv_yx: jnp.ndarray,
+    r: int,
+    bound_in: int,
+    block_w: int,
+    block_h: int,
+) -> jnp.ndarray:
+    """Fused window-select + candidate-SAD refine over a frame stack.
+
+    Args:
+      stack: ``(T+1, fh, fw)`` uint8 luma planes of one pyramid level;
+        frame ``t`` is tracked against anchor ``t+1`` (the reference's
+        pyramid swap, libs/encoder.cpp:661-663).
+      mv_yx: ``(T, mfh, 2, 1, mfw)`` int32 propagated MVs — per frame, row
+        0 the y components, row 1 the x; even values in
+        ``[-bound_in, bound_in]``.
+
+    Returns ``(T, mfh, rows_out, mfw)`` int32 raw SADs, candidate (oy, ox)
+    raster order on the first ``(2r+1)**2`` rows (rest zero padding).
+    Entries whose windows fall outside the frame are garbage — callers
+    mask them (``motion._refine_select``), exactly like the per-frame
+    kernel. Bit-exact vs the XLA fallback path (integer arithmetic).
+    """
+    tp1, fh, fw = stack.shape
+    t = tp1 - 1
+    bw, bh = block_w, block_h
+    mfh, mfw = fh // bh, fw // bw
+    pad = bound_in + r
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+
+    rowpad_b = -(-pad // bh)
+    halo_b = -(-pad // bw)
+    row_pad = rowpad_b * bh
+    col_pad = halo_b * bw
+    n_tiles = 2 * rowpad_b + 1
+    lanes = mfw + 2 * halo_b
+    cw_cells = (2 * halo_b + 1) * bw
+
+    # ONE shared cell tensor for the whole stack:
+    #   cells[t, row, k*bw + o, j] = padded[t, row, (j + k)*bw + o]
+    # built as a single lane transpose of the padded stack plus
+    # ``2*halo_b + 1`` lane-shifted slices (XLA fuses the transpose into
+    # the concat inputs). Every program's tracked tiles AND its anchor
+    # block view are BlockSpec windows of this array.
+    padded = jnp.pad(
+        stack, ((0, 0), (row_pad, row_pad), (col_pad, col_pad))
+    )
+    q = jnp.swapaxes(
+        padded.reshape(tp1, fh + 2 * row_pad, lanes, bw), -1, -2
+    )  # (T+1, rows_p, bw, lanes)
+    cells = jnp.concatenate(
+        [q[:, :, :, k : k + mfw] for k in range(2 * halo_b + 1)], axis=2
+    )  # (T+1, rows_p, (2*halo_b+1)*bw, mfw)
+
+    two_stage = _two_stage_ok(bound_in)
+    kernel = _make_stack_refine_kernel(
+        r, bound_in, bh, bw, row_pad, col_pad, n_tiles, two_stage
+    )
+    wh_, ww_ = bh + 2 * r, bw + 2 * r
+    if two_stage:
+        scratches = [
+            pltpu.VMEM((wh_ + 4, cw_cells, mfw), jnp.uint8),
+            pltpu.VMEM((wh_, cw_cells, mfw), jnp.uint8),
+            pltpu.VMEM((wh_, ww_ + 4, mfw), jnp.uint8),
+        ]
+    else:
+        scratches = [pltpu.VMEM((wh_, cw_cells, mfw), jnp.uint8)]
+
+    tile_specs = [
+        pl.BlockSpec(
+            (1, bh, cw_cells, mfw),
+            functools.partial(lambda d, ti, i: (ti, i + d, 0, 0), d),
+            memory_space=pltpu.VMEM,
+        )
+        for d in range(n_tiles)
+    ]
+    anchor_spec = pl.BlockSpec(
+        (1, bh, cw_cells, mfw),
+        lambda ti, i: (ti + 1, i + rowpad_b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mv_spec = pl.BlockSpec(
+        (1, 1, 2, 1, mfw),
+        lambda ti, i: (ti, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(t, mfh),
+        in_specs=tile_specs + [anchor_spec, mv_spec],
+        out_specs=pl.BlockSpec(
+            (1, 1, rows_out, mfw),
+            lambda ti, i: (ti, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, mfh, rows_out, mfw), jnp.int32),
+        scratch_shapes=scratches,
+        interpret=(jax.default_backend() == "cpu"),
+    )(*([cells] * n_tiles), cells, mv_yx.reshape(t, mfh, 2, 1, mfw))
+
+
+def stack_refine_supported(
+    mfh: int, mfw: int, block_w: int, block_h: int, r: int, bound_in: int
+) -> bool:
+    """Shape/VMEM gate for :func:`refine_mads_stack_pallas`."""
+    pad = bound_in + r
+    rowpad_b = -(-pad // block_h)
+    halo_b = -(-pad // block_w)
+    n_tiles = 2 * rowpad_b + 1
+    cells_bytes = n_tiles * block_h * (2 * halo_b + 1) * block_w * mfw
+    return (
+        mfw >= 8
+        and mfh >= 1
+        and bound_in % 2 == 0
+        and cells_bytes <= 2 * 1024 * 1024
+    )

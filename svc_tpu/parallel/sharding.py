@@ -62,13 +62,17 @@ class ShardedEncoder:
         vidprops: VideoProperties,
         mesh: Mesh,
         batch_per_device: int = 4,
+        keep_planes: bool = False,
     ):
         self.mesh = mesh
         self.n_devices = mesh.devices.size
         self.batch_per_device = batch_per_device
         self.batch_size = self.n_devices * batch_per_device
         # the per-device program: the single-chip pipeline on a local chunk
-        self.inner = Encoder(cfg, vidprops, batch_size=batch_per_device)
+        self.inner = Encoder(
+            cfg, vidprops, batch_size=batch_per_device,
+            keep_planes=keep_planes,
+        )
 
         batch_fn = self.inner.encode_batch_fn
 
@@ -86,7 +90,6 @@ class ShardedEncoder:
             return out
 
         shard = P(FRAME_AXIS)
-        plane_shard = P(None, FRAME_AXIS)  # (3, T, PH, PW): T is axis 1
         out_specs = {
             "coeffs": shard,
             "block_types": shard,
@@ -96,10 +99,13 @@ class ShardedEncoder:
             "cluster_labels": shard,
             "global_motion": shard,
             "ransac_rmse": shard,
-            "padded_planes": plane_shard,
             "total_foreground_blocks": P(),  # replicated after psum
             "mean_ransac_rmse": P(),
         }
+        if keep_planes:
+            # (3, bpd+1, PH, PW) per device, frame axis 1; each chunk
+            # keeps its own overlap frame in the gathered stack
+            out_specs["padded_planes"] = P(None, FRAME_AXIS)
 
         self._sharded = jax.jit(
             jax.shard_map(
@@ -115,6 +121,10 @@ class ShardedEncoder:
     @property
     def cfg(self):
         return self.inner.cfg
+
+    @property
+    def keep_planes(self):
+        return self.inner.keep_planes
 
     def header(self, frame_count=None):
         return self.inner.header(frame_count)

@@ -224,11 +224,22 @@ def compose_views(frame_bgr, mv, gm, fg_raw, fg, labels, btypes) -> np.ndarray:
     return _draw_titles(views, h, w)
 
 
+def _require_planes(encoder) -> None:
+    """The visualizer views reconstruct the base image from the encoder's
+    ``padded_planes`` output, which plain encodes drop (Encoder
+    ``keep_planes``); fail construction clearly instead of at first batch."""
+    if not getattr(encoder, "keep_planes", True):
+        raise ValueError(
+            "visualizing requires an encoder built with keep_planes=True"
+        )
+
+
 class VisualizingEncoder:
     """Wraps an ``Encoder`` and dumps per-frame composites to a directory —
     the TPU framework's equivalent of the encoder-visualizer flavor."""
 
     def __init__(self, encoder, out_dir: str):
+        _require_planes(encoder)
         self.encoder = encoder
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -254,8 +265,11 @@ class VisualizingEncoder:
 
     def encode_video(self, frames, on_batch=None, **kwargs):
         def dump(first_index, out, n_valid):
-            # (3, T, PH, PW) channel planes -> (T, PH, PW, 3) BGR images
-            frames_np = np.moveaxis(np.asarray(out["padded_planes"]), 0, -1)
+            # (3, T+1, PH, PW) full-stack planes (frame 0 = overlap)
+            # -> (T, PH, PW, 3) BGR anchor images
+            frames_np = np.moveaxis(
+                np.asarray(out["padded_planes"])[:, 1:], 0, -1
+            )
             mv = np.asarray(out["mv_field"])
             gm = np.asarray(out["global_motion"])
             fg_raw = np.asarray(out["foreground_mask_raw"])
@@ -289,6 +303,7 @@ class LiveEncoderView:
     def __init__(self, encoder, window: str = "svc encoder"):
         import cv2  # raises ImportError without OpenCV, caller gates
 
+        _require_planes(encoder)
         self._cv2 = cv2
         self.encoder = encoder
         self.window = window
@@ -313,7 +328,7 @@ class LiveEncoderView:
         def show(first_index, out, n_valid):
             if self._open:
                 frames_np = np.moveaxis(
-                    np.asarray(out["padded_planes"]), 0, -1
+                    np.asarray(out["padded_planes"])[:, 1:], 0, -1
                 )
                 mv = np.asarray(out["mv_field"])
                 gm = np.asarray(out["global_motion"])

@@ -148,6 +148,33 @@ class TestHbma:
         np.testing.assert_array_equal(np.asarray(mv), mv_s)
         np.testing.assert_array_equal(np.asarray(mm), mm_s)
 
+    @pytest.mark.parametrize(
+        "levels,block,r,h,w",
+        [
+            (4, 16, 8, 128, 256),  # default codec geometry, stack kernel
+            (3, 8, 4, 96, 128),    # alternate geometry
+            (2, 8, 2, 32, 48),     # small field: falls back to vmap path
+        ],
+    )
+    def test_stack_matches_vmapped_hbma(self, levels, block, r, h, w):
+        """hbma_stack (the encoder's stack-kernel motion path, where frame
+        pairing lives in BlockSpec index maps) must be bit-identical to
+        vmapping hbma over sliced tracked/anchor pyramids."""
+        rng = np.random.default_rng(levels * 100 + block)
+        T = 3
+        stack = rng.integers(0, 256, (T + 1, h, w), dtype=np.uint8)
+        for t in range(1, T + 1):
+            stack[t, 8 : h // 2, 16 : w - 16] = stack[
+                t - 1, 6 : h // 2 - 2, 13 : w - 19
+            ]
+        pyr = build_pyramid(jnp.asarray(stack), levels)
+        mv_s, mm_s = motion.hbma_stack(list(pyr), r, block, block)
+        mv_v, mm_v = jax.vmap(
+            lambda tp, ap: motion.hbma(list(tp), list(ap), r, block, block)
+        )(tuple(l[:-1] for l in pyr), tuple(l[1:] for l in pyr))
+        np.testing.assert_array_equal(np.asarray(mv_s), np.asarray(mv_v))
+        np.testing.assert_array_equal(np.asarray(mm_s), np.asarray(mm_v))
+
     def test_vmappable_over_frame_batch(self):
         tracked, anchor = _frame_pair(32, 32, 9)
         t = jnp.stack([jnp.asarray(tracked)] * 3)

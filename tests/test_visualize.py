@@ -55,7 +55,9 @@ def test_visualizing_encoder_dumps_per_frame(tmp_path):
         mv_block_w=8, mv_block_h=8, mv_search_range=4, pyr_lvl_count=2,
         kmeans=KMeansParams(cluster_count=3),
     )
-    enc = Encoder(cfg, VideoProperties(64, 48, 4), batch_size=3)
+    enc = Encoder(
+        cfg, VideoProperties(64, 48, 4), batch_size=3, keep_planes=True
+    )
     out_dir = str(tmp_path / "views")
     wrapped = VisualizingEncoder(enc, out_dir)
     chunks = list(wrapped.encode_video(iter(frames)))
