@@ -34,6 +34,10 @@ from svc_tpu.config import DecoderConfig
 from svc_tpu.io import bitstream
 from svc_tpu.ops import interleave
 from svc_tpu.ops.dct import idct2_wire_to_planes_pitched
+from svc_tpu.ops.dct_pallas import (
+    idct_wire_to_pitched_pallas,
+    pallas_wire_idct_supported,
+)
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
 from svc_tpu.utils.mathx import round_half_away_from_zero
@@ -142,7 +146,7 @@ class Decoder:
             bys = jnp.arange(nby, dtype=jnp.int32)[:, None] * tbh
             bxs = jnp.arange(nbx, dtype=jnp.int32)[None, :] * tbw
 
-            def per_frame(c, types, rect):
+            def frame_steps(types, rect):
                 rx, ry, rw, rh = rect[0], rect[1], rect[2], rect[3]
                 # cv::Rect::contains: x <= px < x + w (libs/decoder.cpp:201)
                 gazed = (
@@ -151,20 +155,16 @@ class Decoder:
                     & (bys >= ry)
                     & (bys < ry + rh)
                 )
-                steps = block_quant_steps(
+                return block_quant_steps(
                     types,
                     gazed,
                     cfg.foreground_quant_step,
                     cfg.background_quant_step,
                 )
-                # per-block steps broadcast directly in block layout
-                deq = quantize(c, steps[:, :, None])
-                # column-pitched planes: the spatial layout's transpose
-                # tile-pads 16x (see idct2_wire_to_planes_pitched); the
-                # resize gathers through col_map, bit-identically
-                planes, col_map = idct2_wire_to_planes_pitched(
-                    deq, channels, tbh, tbw
-                )  # (C, PH, bw*nbx), BGR plane order
+
+            steps = jax.vmap(frame_steps)(block_types, gaze_rects)
+
+            def resize_frame(planes, col_map):
                 # display path: /255, bilinear resize to original size,
                 # imshow (libs/decoder.cpp:208-211); the /255 and the
                 # implicit *255 of display cancel — resize in 0..255 space
@@ -173,9 +173,34 @@ class Decoder:
                 )
                 return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
-            planes = jax.vmap(per_frame)(
-                coeffs, block_types, gaze_rects
-            )  # (T, C, H, W) uint8
+            if pallas_wire_idct_supported(channels, nby, nbx, tbh, tbw):
+                # fused dequant + wire IDCT straight into pitched planes
+                # (ONE batched kernel; the XLA path below pays mostly-zero
+                # (C*n, C*n) stage dots plus a full pitch transpose)
+                pitched = idct_wire_to_pitched_pallas(
+                    coeffs, steps, channels, tbh, tbw
+                )  # (T, C, PH, bw, nbx)
+                cols = np.arange(nbx * tbw, dtype=np.int32)
+                col_map = np.stack([cols % tbw, cols // tbw])
+                planes = jax.vmap(
+                    lambda p: resize_frame(p, col_map)
+                )(pitched)
+            else:
+
+                def per_frame(c, st):
+                    # per-block steps broadcast directly in block layout
+                    deq = quantize(c, st[:, :, None])
+                    # column-pitched planes: the spatial layout's
+                    # transpose tile-pads 16x; the resize gathers through
+                    # col_map, bit-identically
+                    pitched, col_map = idct2_wire_to_planes_pitched(
+                        deq, channels, tbh, tbw
+                    )
+                    return resize_frame(pitched, col_map)
+
+                planes = jax.vmap(per_frame)(
+                    coeffs, steps
+                )  # (T, C, H, W) uint8
             # interleave to packed (T, H, W*C): channel planes stay dense
             # on device (a trailing C=3 axis tile-pads to 128 lanes); the
             # host views the packed rows as (H, W, C) for free

@@ -271,6 +271,169 @@ def dct2_planes_to_wire_pallas(
     )(*[jnp.asarray(m) for m in m1_terms], jnp.asarray(w2), *([p5] * c))
 
 
+# ---------------------------------------------------------------------------
+# Inverse: fused dequant + wire IDCT straight into column-pitched planes
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_pair_stage_weights(block_w: int, block_h: int):
+    """Row-paired inverse stage matrices diag(U, U) (2n, 2n).
+
+    Per block, in flat wire coordinates ``(k*bw + l)``:
+
+        U1[(k*bw + l), (i*bw + l)] = dh[k, i]   (rows stage, contract k)
+        U2[(i*bw + l), (i*bw + j)] = dw[l, j]   (cols stage, contract l)
+
+    — exactly the per-channel blocks of ``ops.dct._inv_stage_weights``'s
+    m1/m2, so each output element sums the same ``bh`` (resp. ``bw``)
+    nonzero terms in the same order as the XLA decode path (the
+    interleaved exact zeros of the pairing cannot change any partial
+    sum). Two block rows stack on the contraction axis for K = N = 2n =
+    128 full-MXU tiles, like the forward pair kernel.
+    """
+    dh = dct_matrix(block_h)
+    dw = dct_matrix(block_w)
+    n = block_h * block_w
+    u1 = np.zeros((n, n), np.float32)
+    u2 = np.zeros((n, n), np.float32)
+    for k in range(block_h):
+        for i in range(block_h):
+            for l in range(block_w):
+                u1[k * block_w + l, i * block_w + l] = dh[k, i]
+    for i in range(block_h):
+        for l in range(block_w):
+            for j in range(block_w):
+                u2[i * block_w + l, i * block_w + j] = dw[l, j]
+    z = np.zeros_like(u1)
+    u1p = np.block([[u1, z], [z, u1]])
+    u2p = np.block([[u2, z], [z, u2]])
+    return u1p, u2p
+
+
+def _make_wire_idct_kernel(
+    channels: int, pairs_per_step: int, n: int, nbx: int, bh: int, bw: int
+):
+    def kernel(u1_ref, u2_ref, c_ref, s_ref, o_ref):
+        u1 = u1_ref[...]
+        u2 = u2_ref[...]
+        for u in range(pairs_per_step):
+            # dequantize both rows: round(c/step)*step with C
+            # away-from-zero rounding (libs/decoder.cpp:137-146; steps
+            # ride the sublane axis, one per block)
+            rows = []
+            for v in (0, 1):
+                c = c_ref[0, 2 * u + v]  # (nbx, C*n) f32
+                s = s_ref[0, 2 * u + v]  # (nbx, 1) f32
+                y = c / s
+                rows.append(jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s)
+            for ch in range(channels):
+                # two block rows of one channel on the contraction axis
+                g = jnp.concatenate(
+                    [r[:, ch * n : (ch + 1) * n] for r in rows], axis=1
+                )  # (nbx, 2n)
+                a = jax.lax.dot_general(
+                    g, u1, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (nbx, 2n)
+                # lhs-side contraction emits pixels on SUBLANES — the
+                # column-pitched plane layout — with no transpose op
+                xt = jax.lax.dot_general(
+                    u2, a, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (2n, nbx)
+                for v in (0, 1):
+                    o_ref[0, ch, 2 * u + v] = xt[
+                        v * n : (v + 1) * n
+                    ].reshape(bh, bw, nbx)
+
+    return kernel
+
+
+def idct_wire_to_pitched_pallas(
+    coeffs: jnp.ndarray,
+    steps: jnp.ndarray,
+    channels: int,
+    block_h: int,
+    block_w: int,
+) -> jnp.ndarray:
+    """Fused dequantize + inverse blockwise DCT into column-pitched planes.
+
+    The decode-side twin of :func:`dct2_planes_to_wire_pallas`: consumes
+    ``(T, nby, nbx, C*bh*bw)`` float32 wire coefficients and per-block
+    quantization steps ``(T, nby, nbx)`` (libs/decoder.cpp:128-149), and
+    emits ``(T, C, nby*bh, bw, nbx)`` float32 column-pitched planes — the
+    layout ``ops.dct.idct2_wire_to_planes_pitched`` produces, with the
+    pitch "transpose" performed implicitly by the MXU in the second
+    contraction and the dequant fused into the coefficient load. Replaces
+    the XLA path's (C*n, C*n) mostly-zero stage dots plus a separate
+    full-tensor pitch transpose (together ~6 ms of the 12 ms 1080p decode
+    batch).
+
+    Returns planes whose storage position ``(j, x)`` on the last two axes
+    holds spatial column ``x*bw + j`` (see idct2_wire_to_planes_pitched's
+    ``col_map``).
+    """
+    t, nby, nbx, cn = coeffs.shape
+    n = block_h * block_w
+    r = _rows_per_step(nby)
+    assert r % 2 == 0
+    kernel = _make_wire_idct_kernel(channels, r // 2, n, nbx, block_h, block_w)
+    u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
+    mspec = pl.BlockSpec(
+        (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(t, nby // r),
+        in_specs=[
+            mspec,
+            mspec,
+            pl.BlockSpec(
+                (1, r, nbx, cn), lambda ti, yi: (ti, yi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, r, nbx, 1), lambda ti, yi: (ti, yi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, channels, r, block_h, block_w, nbx),
+            lambda ti, yi: (ti, 0, yi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (t, channels, nby, block_h, block_w, nbx), jnp.float32
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(
+        jnp.asarray(u1p),
+        jnp.asarray(u2p),
+        coeffs,
+        steps[..., None].astype(jnp.float32),
+    )
+    return out.reshape(t, channels, nby * block_h, block_w, nbx)
+
+
+def pallas_wire_idct_supported(
+    channels: int, nby: int, nbx: int, block_h: int, block_w: int
+) -> bool:
+    """Shape gate: even rows-per-step (pairing), lane-aligned blocks, and
+    a VMEM budget across the in/out blocks."""
+    if nbx < 8 or nbx % 8 or nby < 2:
+        return False
+    n = block_h * block_w
+    r = _rows_per_step(nby)
+    if r % 2:
+        return False
+    in_bytes = r * nbx * channels * n * 4
+    out_bytes = channels * r * n * nbx * 4
+    return in_bytes + out_bytes <= 6 * 1024 * 1024
+
+
 def pallas_wire_dct_supported(
     channels: int, h: int, w: int, block_w: int, block_h: int
 ) -> bool:

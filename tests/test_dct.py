@@ -125,3 +125,46 @@ class TestWireDctPallas:
         finally:
             dct_pallas._rows_per_step = orig
         np.testing.assert_array_equal(np.asarray(paired), np.asarray(unpaired))
+
+
+class TestWireIdctPallas:
+    """The fused dequant + wire-IDCT kernel (interpret mode on CPU) must be
+    bit-identical to the XLA decode path: quantize -> (C*n, C*n) stage dots
+    -> pitch transpose (ops/dct.idct2_wire_to_planes_pitched)."""
+
+    @pytest.mark.parametrize("t,nby,nbx", [(2, 16, 32), (1, 8, 24)])
+    def test_bit_identical_vs_xla_path(self, t, nby, nbx):
+        from svc_tpu.ops.dct import idct2_wire_to_planes_pitched
+        from svc_tpu.ops.dct_pallas import (
+            idct_wire_to_pitched_pallas,
+            pallas_wire_idct_supported,
+        )
+        from svc_tpu.ops.quant import quantize
+
+        c, bh, bw = 3, 8, 8
+        rng = np.random.default_rng(nby + nbx)
+        coeffs = (rng.normal(size=(t, nby, nbx, c * bh * bw)) * 120).astype(
+            np.float32
+        )
+        steps = rng.choice([1.0, 640.0, 13.0], size=(t, nby, nbx)).astype(
+            np.float32
+        )
+        assert pallas_wire_idct_supported(c, nby, nbx, bh, bw)
+        got = idct_wire_to_pitched_pallas(
+            jnp.asarray(coeffs), jnp.asarray(steps), c, bh, bw
+        )
+        ref = []
+        for i in range(t):
+            deq = quantize(
+                jnp.asarray(coeffs[i]), jnp.asarray(steps[i])[:, :, None]
+            )
+            p, _ = idct2_wire_to_planes_pitched(deq, c, bh, bw)
+            ref.append(np.asarray(p))
+        np.testing.assert_array_equal(np.asarray(got), np.stack(ref))
+
+    def test_gate(self):
+        from svc_tpu.ops.dct_pallas import pallas_wire_idct_supported
+
+        assert pallas_wire_idct_supported(3, 136, 240, 8, 8)  # 1080p
+        assert pallas_wire_idct_supported(3, 272, 480, 8, 8)  # 4K
+        assert not pallas_wire_idct_supported(3, 16, 4, 8, 8)  # narrow
