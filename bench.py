@@ -44,10 +44,12 @@ def make_frames(t, h, w, seed=0):
     coarse = rng.integers(0, 256, ((h + 256) // 8, (w + 256) // 8))
     base = np.kron(coarse, np.ones((8, 8))).astype(np.float32)
     frames = np.empty((t, h, w, 3), np.uint8)
+    s = min(128, h // 2, w // 2)  # moving object fits any geometry
     for i in range(t):
         f = base[2 * i : 2 * i + h, i : i + w].copy()
-        oy, ox = h // 5 + 6 * i, w // 5 + 10 * i
-        f[oy : oy + 128, ox : ox + 128] = base[:128, :128]
+        oy = (h // 5 + 6 * i) % (h - s + 1)
+        ox = (w // 5 + 10 * i) % (w - s + 1)
+        f[oy : oy + s, ox : ox + s] = base[:s, :s]
         frames[i] = np.repeat(f[..., None], 3, -1).astype(np.uint8)
     return frames
 
