@@ -180,6 +180,30 @@ class Decoder:
                 pitched = idct_wire_to_pitched_pallas(
                     coeffs, steps, channels, tbh, tbw
                 )  # (T, C, PH, bw, nbx)
+                from svc_tpu.ops.resize import (
+                    bilinear_axis_weights,
+                    resize_rows_pitched,
+                )
+
+                _, _, _, x_ident = bilinear_axis_weights(
+                    h.frame_w, nbx * tbw
+                )
+                if x_ident and interleave.pitched_interleave_supported(
+                    tbw, nbx
+                ):
+                    # width-aligned geometry (no horizontal resample —
+                    # true whenever frame_w divides the MV block, incl.
+                    # CIF/1080p/4K): rows resample in pitched layout, and
+                    # the un-pitch permutation rides the packed
+                    # interleave's selection contraction for free — the
+                    # separate full-frame un-pitch gather disappears
+                    rows = jax.vmap(
+                        lambda p: resize_rows_pitched(p, h.frame_h)
+                    )(pitched)
+                    u8 = jnp.clip(jnp.round(rows), 0, 255).astype(
+                        jnp.uint8
+                    )
+                    return interleave.interleave_rows_pitched(u8, tbw)
                 cols = np.arange(nbx * tbw, dtype=np.int32)
                 col_map = np.stack([cols % tbw, cols // tbw])
                 planes = jax.vmap(

@@ -82,3 +82,48 @@ def interleave_rows(planes: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
     ).astype(jnp.uint8)
     return out.reshape(tuple(lead) + (h, w * channels))
+
+
+@functools.lru_cache(maxsize=None)
+def _int_pitched_selector(channels: int, bw: int) -> np.ndarray:
+    """(C, bw, 128//bw, C*128) 0/1: column-pitched per-channel lanes ->
+    packed lane group. Spatial column ``i*bw + j`` of a 128-column group
+    sits at pitched position ``(j, block i)``; its packed bytes land at
+    ``(i*bw + j)*C + c`` — the un-pitch permutation rides the selection
+    contraction for free (same K = C*128 as the spatial selector)."""
+    bpg = 128 // bw  # blocks per 128-column group
+    sel = np.zeros((channels, bw, bpg, channels * 128), np.float32)
+    for c in range(channels):
+        for i in range(bpg):
+            for j in range(bw):
+                sel[c, j, i, (i * bw + j) * channels + c] = 1.0
+    return sel
+
+
+def pitched_interleave_supported(bw: int, nbx: int) -> bool:
+    """True when the pitched selector applies: whole 128-column groups."""
+    return 128 % bw == 0 and nbx % (128 // bw) == 0
+
+
+def interleave_rows_pitched(planes: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """``(..., C, H, bw, nbx)`` column-pitched uint8 planes (storage
+    ``(j, x)`` = spatial column ``x*bw + j``, see
+    dct.idct2_wire_to_planes_pitched) -> ``(..., H, W*C)`` packed rows.
+
+    One exact bf16 selection einsum performs the channel interleave AND
+    the un-pitch permutation together — the decoder's separate un-pitch
+    gather (measured ~1.3 ms per 16-frame 1080p batch) disappears.
+    Requires ``pitched_interleave_supported(bw, nbx)``.
+    """
+    *lead, channels, h, bw_, nbx = planes.shape
+    assert bw_ == bw
+    bpg = 128 // bw
+    g = nbx // bpg
+    x = planes.reshape(tuple(lead) + (channels, h, bw, g, bpg))
+    out = jnp.einsum(
+        "...chjgi,cjio->...hgo",
+        x.astype(jnp.bfloat16),
+        jnp.asarray(_int_pitched_selector(channels, bw), jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint8)
+    return out.reshape(tuple(lead) + (h, bw * nbx * channels))

@@ -31,6 +31,46 @@ def resize_nearest_exact(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarra
     return img[..., ys, :][..., :, xs]
 
 
+def bilinear_axis_weights(out_n: int, in_n: int):
+    """Center-aligned bilinear source indices/fractions for one axis
+    (OpenCV INTER_LINEAR mapping ``src = (dst + 0.5) * scale - 0.5`` with
+    edge clamping). Returns ``(i0, i1, frac, identity)`` — host numpy;
+    ``identity`` is True when every fraction is exactly zero (the axis is
+    a pure index map, callers may skip the blend bit-identically)."""
+    src = (np.arange(out_n) + 0.5) * in_n / out_n - 0.5
+    i0 = np.floor(src).astype(np.int32)
+    frac = (src - i0).astype(np.float32)
+    # clamp to valid range; OpenCV clamps coordinates at the borders
+    frac = np.where(i0 < 0, 0.0, frac)
+    frac = np.where(i0 >= in_n - 1, 0.0, frac).astype(np.float32)
+    i0 = np.clip(i0, 0, in_n - 1)
+    i1 = np.clip(i0 + 1, 0, in_n - 1)
+    return i0, i1, frac, bool((frac == 0).all())
+
+
+def resize_rows_pitched(img: jnp.ndarray, out_h: int) -> jnp.ndarray:
+    """Row-only bilinear resample of one frame's column-pitched planes
+    ``(C, H, bw, nbx)`` to ``(C, out_h, bw, nbx)`` — the vertical half of
+    the decoder's display resize, for callers that handle the column step
+    themselves (e.g. folding the un-pitch into the packed interleave,
+    ops/interleave.interleave_rows_pitched)."""
+    h = img.shape[-3]
+    y0, y1, fy, y_ident = bilinear_axis_weights(out_h, h)
+    if y_ident:
+        return img[..., y0, :, :]
+    from svc_tpu.ops.resize_pallas import (
+        resize_rows_pallas,
+        rows_pallas_supported,
+    )
+
+    if img.ndim == 4 and rows_pallas_supported(
+        y0, y1, fy, h, img.shape[-2] * img.shape[-1]
+    ):
+        return resize_rows_pallas(img, y0, y1, fy)
+    f = fy.reshape(-1, 1, 1)
+    return img[..., y0, :, :] * (1 - f) + img[..., y1, :, :] * f
+
+
 def resize_bilinear(
     img: jnp.ndarray, out_h: int, out_w: int, col_map=None
 ) -> jnp.ndarray:

@@ -143,3 +143,24 @@ class TestInterleave:
 
         assert interleave.lane_aligned(1920)
         assert not interleave.lane_aligned(352)
+
+    def test_pitched_interleave_matches_unpitch_then_interleave(self):
+        """interleave_rows_pitched folds the decoder's un-pitch
+        permutation into the packed-interleave selection — must equal
+        un-pitching spatially and interleaving."""
+        from svc_tpu.ops import interleave
+
+        rng = np.random.default_rng(3)
+        t, c, hh, bw, nbx = 2, 3, 6, 8, 32  # W = 256
+        assert interleave.pitched_interleave_supported(bw, nbx)
+        pitched = rng.integers(0, 256, (t, c, hh, bw, nbx), np.uint8)
+        got = interleave.interleave_rows_pitched(jnp.asarray(pitched), bw)
+        # spatial un-pitch: column x*bw + j <- storage (j, x)
+        spatial = np.transpose(pitched, (0, 1, 2, 4, 3)).reshape(
+            t, c, hh, bw * nbx
+        )
+        ref = np.asarray(
+            interleave.interleave_rows(jnp.asarray(spatial))
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref)
+        assert not interleave.pitched_interleave_supported(8, 44)  # CIF
