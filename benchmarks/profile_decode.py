@@ -72,6 +72,12 @@ def main():
 
     meta = {}
     try:
+        # the lower().compile() below is a SECOND full compile of the
+        # program (several minutes under tunnel contention) — opt in
+        import os
+
+        if not os.environ.get("SVC_PROFILE_META"):
+            raise RuntimeError("set SVC_PROFILE_META=1 for source mapping")
         import re
 
         txt = (

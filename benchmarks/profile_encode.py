@@ -65,6 +65,12 @@ def main():
     # op-name -> source metadata from the same compiled executable
     meta = {}
     try:
+        # the lower().compile() below is a SECOND full compile of the
+        # program (several minutes under tunnel contention) — opt in
+        import os
+
+        if not os.environ.get("SVC_PROFILE_META"):
+            raise RuntimeError("set SVC_PROFILE_META=1 for source mapping")
         # reuse the Encoder's already-compiled jit (a fresh jax.jit here
         # would retrace and recompile the whole encode program)
         txt = (

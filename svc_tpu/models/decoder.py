@@ -180,35 +180,33 @@ class Decoder:
                 pitched = idct_wire_to_pitched_pallas(
                     coeffs, steps, channels, tbh, tbw
                 )  # (T, C, PH, bw, nbx)
+                cols = np.arange(nbx * tbw, dtype=np.int32)
+                col_map = np.stack([cols % tbw, cols // tbw])
                 from svc_tpu.ops.resize import (
                     bilinear_axis_weights,
                     resize_rows_pitched,
                 )
 
-                _, _, _, x_ident = bilinear_axis_weights(
+                x0, _, _, x_ident = bilinear_axis_weights(
                     h.frame_w, nbx * tbw
                 )
-                if x_ident and interleave.pitched_interleave_supported(
-                    tbw, nbx
-                ):
-                    # width-aligned geometry (no horizontal resample —
-                    # true whenever frame_w divides the MV block, incl.
-                    # CIF/1080p/4K): rows resample in pitched layout, and
-                    # the un-pitch permutation rides the packed
-                    # interleave's selection contraction for free — the
-                    # separate full-frame un-pitch gather disappears
-                    rows = jax.vmap(
-                        lambda p: resize_rows_pitched(p, h.frame_h)
+                if x_ident:
+                    # width-aligned geometry (frame_w == padded width —
+                    # every mv-block-divisible width, incl. CIF/1080p/
+                    # 4K): the column step is a pure un-pitch gather, so
+                    # the display round/clip commutes past it and fuses
+                    # into the row-resample kernel — uint8 from there on
+                    # (quarters the resample+gather traffic)
+                    rows_u8 = jax.vmap(
+                        lambda p: resize_rows_pitched(
+                            p, h.frame_h, emit_u8=True
+                        )
                     )(pitched)
-                    u8 = jnp.clip(jnp.round(rows), 0, 255).astype(
-                        jnp.uint8
-                    )
-                    return interleave.interleave_rows_pitched(u8, tbw)
-                cols = np.arange(nbx * tbw, dtype=np.int32)
-                col_map = np.stack([cols % tbw, cols // tbw])
-                planes = jax.vmap(
-                    lambda p: resize_frame(p, col_map)
-                )(pitched)
+                    planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
+                else:
+                    planes = jax.vmap(
+                        lambda p: resize_frame(p, col_map)
+                    )(pitched)
             else:
 
                 def per_frame(c, st):

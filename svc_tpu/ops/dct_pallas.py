@@ -314,17 +314,26 @@ def _inv_pair_stage_weights(block_w: int, block_h: int):
 def _make_wire_idct_kernel(
     channels: int, pairs_per_step: int, n: int, nbx: int, bh: int, bw: int
 ):
-    def kernel(u1_ref, u2_ref, c_ref, s_ref, o_ref):
+    def kernel(u1_ref, u2_ref, ident_ref, c_ref, s_ref, o_ref):
         u1 = u1_ref[...]
         u2 = u2_ref[...]
+        ident = ident_ref[...]
         for u in range(pairs_per_step):
             # dequantize both rows: round(c/step)*step with C
-            # away-from-zero rounding (libs/decoder.cpp:137-146; steps
-            # ride the sublane axis, one per block)
+            # away-from-zero rounding (libs/decoder.cpp:137-146). Steps
+            # arrive dense on LANES (a (nbx, 1)-shaped input would
+            # tile-pad its lane axis 1 -> 128, 668 MB/batch at 1080p —
+            # measured); the identity dot transposes the row onto
+            # sublanes exactly (HIGHEST keeps integer steps f32-exact)
             rows = []
             for v in (0, 1):
                 c = c_ref[0, 2 * u + v]  # (nbx, C*n) f32
-                s = s_ref[0, 2 * u + v]  # (nbx, 1) f32
+                s = jax.lax.dot_general(
+                    ident, s_ref[0, 2 * u + v : 2 * u + v + 1, :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (nbx, 1)
                 y = c / s
                 rows.append(jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s)
             for ch in range(channels):
@@ -392,11 +401,15 @@ def idct_wire_to_pitched_pallas(
             mspec,
             mspec,
             pl.BlockSpec(
+                (nbx, nbx), lambda ti, yi: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (1, r, nbx, cn), lambda ti, yi: (ti, yi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, r, nbx, 1), lambda ti, yi: (ti, yi, 0, 0),
+                (1, r, nbx), lambda ti, yi: (ti, yi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -412,8 +425,9 @@ def idct_wire_to_pitched_pallas(
     )(
         jnp.asarray(u1p),
         jnp.asarray(u2p),
+        jnp.eye(nbx, dtype=jnp.float32),
         coeffs,
-        steps[..., None].astype(jnp.float32),
+        steps.astype(jnp.float32),
     )
     return out.reshape(t, channels, nby * block_h, block_w, nbx)
 

@@ -111,9 +111,15 @@ def interleave_rows_pitched(planes: jnp.ndarray, bw: int) -> jnp.ndarray:
     dct.idct2_wire_to_planes_pitched) -> ``(..., H, W*C)`` packed rows.
 
     One exact bf16 selection einsum performs the channel interleave AND
-    the un-pitch permutation together — the decoder's separate un-pitch
-    gather (measured ~1.3 ms per 16-frame 1080p batch) disappears.
-    Requires ``pitched_interleave_supported(bw, nbx)``.
+    the un-pitch permutation together. Requires
+    ``pitched_interleave_supported(bw, nbx)``.
+
+    NOT in the production decode path: the contraction axes ``(c, j, i)``
+    are non-contiguous in the operand (``h`` and the group axis sit
+    between them), so XLA lowers this einsum with a full lhs relayout —
+    measured 5.25 ms per 16-frame 1080p batch versus ~1.3 ms for the
+    un-pitch gather + spatial interleave it was meant to replace. Kept
+    (tested, exact) as the record of that measurement.
     """
     *lead, channels, h, bw_, nbx = planes.shape
     assert bw_ == bw

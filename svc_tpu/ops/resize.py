@@ -48,16 +48,25 @@ def bilinear_axis_weights(out_n: int, in_n: int):
     return i0, i1, frac, bool((frac == 0).all())
 
 
-def resize_rows_pitched(img: jnp.ndarray, out_h: int) -> jnp.ndarray:
+def resize_rows_pitched(
+    img: jnp.ndarray, out_h: int, emit_u8: bool = False
+) -> jnp.ndarray:
     """Row-only bilinear resample of one frame's column-pitched planes
     ``(C, H, bw, nbx)`` to ``(C, out_h, bw, nbx)`` — the vertical half of
-    the decoder's display resize, for callers that handle the column step
-    themselves (e.g. folding the un-pitch into the packed interleave,
-    ops/interleave.interleave_rows_pitched)."""
+    the decoder's display resize, for callers whose column step is a pure
+    gather. ``emit_u8`` fuses the display round/clip (uint8 output, same
+    round-half-even + clamp as the XLA tail) — exact because gathering
+    commutes with per-element rounding."""
     h = img.shape[-3]
     y0, y1, fy, y_ident = bilinear_axis_weights(out_h, h)
+
+    def finish(x):
+        if not emit_u8:
+            return x
+        return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
     if y_ident:
-        return img[..., y0, :, :]
+        return finish(img[..., y0, :, :])
     from svc_tpu.ops.resize_pallas import (
         resize_rows_pallas,
         rows_pallas_supported,
@@ -66,9 +75,11 @@ def resize_rows_pitched(img: jnp.ndarray, out_h: int) -> jnp.ndarray:
     if img.ndim == 4 and rows_pallas_supported(
         y0, y1, fy, h, img.shape[-2] * img.shape[-1]
     ):
-        return resize_rows_pallas(img, y0, y1, fy)
+        return resize_rows_pallas(img, y0, y1, fy, emit_u8=emit_u8)
     f = fy.reshape(-1, 1, 1)
-    return img[..., y0, :, :] * (1 - f) + img[..., y1, :, :] * f
+    return finish(
+        img[..., y0, :, :] * (1 - f) + img[..., y1, :, :] * f
+    )
 
 
 def resize_bilinear(

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 _ROW_TILE = 8
 
 
-def _make_kernel(rt: int, n_views: int, s_max: int):
+def _make_kernel(rt: int, n_views: int, s_max: int, emit_u8: bool):
     # the full (n_tiles, rt) shift/weight tables sit in SMEM; each program
     # reads its row by grid index
     def kernel(s_ref, f_ref, *refs):
@@ -57,7 +57,17 @@ def _make_kernel(rt: int, n_views: int, s_max: int):
                 take = sr == s
                 top = cand_t if top is None else jnp.where(take, cand_t, top)
                 bot = cand_b if bot is None else jnp.where(take, cand_b, bot)
-            o_ref[0, 0, r] = top * (1.0 - f) + bot * f
+            v = top * (1.0 - f) + bot * f
+            if emit_u8:
+                # display clamp fused in: same round-half-even + clip the
+                # XLA tail applies (f32 -> u8 must hop through int32 on
+                # this Mosaic build); quarters the kernel's write traffic
+                v = (
+                    jnp.clip(jnp.round(v), 0.0, 255.0)
+                    .astype(jnp.int32)
+                    .astype(jnp.uint8)
+                )
+            o_ref[0, 0, r] = v
 
     return kernel
 
@@ -67,13 +77,16 @@ def resize_rows_pallas(
     y0: np.ndarray,
     y1: np.ndarray,
     fy: np.ndarray,
+    emit_u8: bool = False,
 ) -> jnp.ndarray:
     """Row-resample ``(C, H, bw, nbx)`` float32 pitched planes to
     ``(C, out_h, bw, nbx)`` with per-row lerp weights.
 
     Host arrays ``y0``/``y1``/``fy`` follow ``resize_bilinear``'s axis
     conventions (``y1 = clip(y0 + 1)``; callers gate on
-    :func:`rows_pallas_supported`).
+    :func:`rows_pallas_supported`). ``emit_u8`` fuses the display
+    round/clip into the kernel (uint8 output) — valid only when nothing
+    downstream blends in float (the decoder's pure-gather column step).
     """
     c, h, bw, nbx = img.shape
     out_h = y0.shape[0]
@@ -93,7 +106,8 @@ def resize_rows_pallas(
     rows_needed = (n_tiles - 1 + n_views) * rt
     imgp = jnp.pad(img, ((0, 0), (0, rows_needed - h), (0, 0), (0, 0)))
 
-    kernel = _make_kernel(rt, n_views, s_max)
+    kernel = _make_kernel(rt, n_views, s_max, emit_u8)
+    out_dtype = jnp.uint8 if emit_u8 else jnp.float32
     view_specs = [
         pl.BlockSpec(
             (1, rt, bw, nbx),
@@ -117,7 +131,7 @@ def resize_rows_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (c, n_tiles, rt, bw, nbx), jnp.float32
+            (c, n_tiles, rt, bw, nbx), out_dtype
         ),
         interpret=(jax.default_backend() == "cpu"),
     )(
