@@ -329,7 +329,7 @@ def _make_wire_idct_kernel(
             for v in (0, 1):
                 c = c_ref[0, 2 * u + v]  # (nbx, C*n) f32
                 s = jax.lax.dot_general(
-                    ident, s_ref[0, 2 * u + v : 2 * u + v + 1, :],
+                    ident, s_ref[0, 0, 2 * u + v : 2 * u + v + 1, :],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
@@ -389,6 +389,15 @@ def idct_wire_to_pitched_pallas(
     n = block_h * block_w
     r = _rows_per_step(nby)
     assert r % 2 == 0
+    # steps regrouped (T, nby/r, rp, nbx): the per-grid-step block then
+    # carries its r step rows on an 8-aligned sublane axis (a (1, r, nbx)
+    # block is illegal whenever r isn't 8-divisible — 4K's nby = 270
+    # factors to r = 6)
+    rp = ((r + 7) // 8) * 8
+    steps_grp = jnp.pad(
+        steps.astype(jnp.float32).reshape(t, nby // r, r, nbx),
+        ((0, 0), (0, 0), (0, rp - r), (0, 0)),
+    )
     kernel = _make_wire_idct_kernel(channels, r // 2, n, nbx, block_h, block_w)
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
     mspec = pl.BlockSpec(
@@ -409,7 +418,7 @@ def idct_wire_to_pitched_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, r, nbx), lambda ti, yi: (ti, yi, 0),
+                (1, 1, rp, nbx), lambda ti, yi: (ti, yi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -427,7 +436,7 @@ def idct_wire_to_pitched_pallas(
         jnp.asarray(u2p),
         jnp.eye(nbx, dtype=jnp.float32),
         coeffs,
-        steps.astype(jnp.float32),
+        steps_grp,
     )
     return out.reshape(t, channels, nby * block_h, block_w, nbx)
 
