@@ -32,6 +32,29 @@ class TestPyrDownPallas:
         assert pallas_pyr_supported(288, 352)
         assert not pallas_pyr_supported(33, 64)  # odd height
 
+    @pytest.mark.parametrize(
+        "t,h,w", [(2, 64, 128), (1, 96, 160), (2, 136, 240)]
+    )
+    def test_mxu_variant_bit_exact(self, t, h, w):
+        from svc_tpu.ops.pyramid_pallas import (
+            pallas_pyr_mxu_supported,
+            pyr_down_mxu_pallas,
+        )
+
+        assert pallas_pyr_mxu_supported(h, w)
+        rng = np.random.default_rng(h + w + 1)
+        imgs = rng.integers(0, 256, (t, h, w)).astype(np.uint8)
+        got = np.asarray(pyr_down_mxu_pallas(jnp.asarray(imgs)))
+        ref = np.asarray(pyr_down(jnp.asarray(imgs)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_mxu_gate_vmem_bound(self):
+        from svc_tpu.ops.pyramid_pallas import pallas_pyr_mxu_supported
+
+        assert pallas_pyr_mxu_supported(1088, 1920)
+        # 4K first reduction: (3840, 1920) bf16 filter matrix > 8 MB
+        assert not pallas_pyr_mxu_supported(2176, 3840)
+
 
 class TestStaticRefinePallas:
     def test_bit_exact_vs_reference_computation(self):
