@@ -675,12 +675,21 @@ def _make_stack_refine_kernel(
     col_pad: int,
     n_tiles: int,
     two_stage: bool,
+    mfw: int,
+    compact: bool,
 ):
     """Kernel factory for :func:`refine_mads_stack_pallas`.
 
     ``row_pad``/``col_pad`` are the block-aligned paddings of the cell
-    tensor (raw pixel (0, 0) sits at cell row ``row_pad``, cell column
+    layout (raw pixel (0, 0) sits at cell row ``row_pad``, cell column
     ``col_pad``); selection offsets below are absolute in that frame.
+
+    With ``compact`` the views are ``(1, bh, bw, lanes)`` windows of the
+    block-pitched plane and the ``(2*halo_b + 1)``-shift cell widening
+    (formerly a 3x-duplicated HBM tensor) happens here in VMEM — worth
+    it for the big base level whose cell tensor is ~100 MB/batch, a net
+    loss for the small levels where the per-program widening pass costs
+    more than their tiny cell tensors; those keep the HBM cell layout.
     """
     side = 2 * r + 1
     wh, ww = bh + 2 * r, bw + 2 * r
@@ -688,28 +697,51 @@ def _make_stack_refine_kernel(
     amax = bound_in - 2
     coarse = list(range(-amax, amax + 1, 6)) if two_stage else []
     fine = (-2, 0, 2)
+    halo_b = col_pad // bw
 
     def kernel(*refs):
         views = refs[:n_tiles]
         a_ref, m_ref, o_ref = refs[n_tiles : n_tiles + 3]
-        scratches = refs[n_tiles + 3 :]
+        if compact:
+            cells_scr = refs[n_tiles + 3]
+            scratches = refs[n_tiles + 4 :]
+        else:
+            scratches = refs[n_tiles + 3 :]
         mvy = m_ref[0, 0, 0:1, :, :]  # (1, 1, mfw) int32
         mvx = m_ref[0, 0, 1:2, :, :]
 
-        def rows(lo, size):
-            """Cell rows [lo, lo+size) straight from the row-tile views."""
-            pieces = []
-            off = lo
-            while off < lo + size:
-                t = off // bh
-                take = min((t + 1) * bh, lo + size) - off
-                pieces.append(
-                    views[t][0, off - t * bh : off - t * bh + take]
-                )
-                off += take
-            if len(pieces) == 1:
-                return pieces[0]
-            return jnp.concatenate(pieces, axis=0)
+        if compact:
+            # widen the compact views into cell layout ONCE per program:
+            # cells[row, k*bw + o, j] = view_row[o, j + k]. The store
+            # normalizes each lane-shifted slice's layout (Mosaic cannot
+            # concatenate values with mismatched lane offsets directly).
+            for t in range(n_tiles):
+                x = views[t][0]  # (bh, bw, lanes)
+                for k in range(2 * halo_b + 1):
+                    cells_scr[
+                        t * bh : (t + 1) * bh, k * bw : (k + 1) * bw, :
+                    ] = x[:, :, k : k + mfw]
+
+            def rows(lo, size):
+                """Cell rows [lo, lo+size) of the widened scratch."""
+                return cells_scr[lo : lo + size]
+
+        else:
+
+            def rows(lo, size):
+                """Cell rows [lo, lo+size) straight from the tile views."""
+                pieces = []
+                off = lo
+                while off < lo + size:
+                    t = off // bh
+                    take = min((t + 1) * bh, lo + size) - off
+                    pieces.append(
+                        views[t][0, off - t * bh : off - t * bh + take]
+                    )
+                    off += take
+                if len(pieces) == 1:
+                    return pieces[0]
+                return jnp.concatenate(pieces, axis=0)
 
         if two_stage:
             rc_scr, rf_scr, cc_scr = scratches
@@ -764,10 +796,14 @@ def _make_stack_refine_kernel(
                 sl = wr[:, col_pad + s - r : col_pad + s - r + ww, :]
                 out = sl if out is None else jnp.where(mvx == s, sl, out)
 
-        # anchor view is a full-cell-width window (the (8, 128) block-shape
-        # tiling rule disallows a bw-wide block axis for small bw); the
-        # block's own columns sit at [col_pad, col_pad + bw)
-        a_blk = a_ref[0, :, col_pad : col_pad + bw, :].astype(jnp.int32)
+        # anchor block: in the compact view, motion-field column j is
+        # padded block column j + halo_b — a contiguous lane slice; in
+        # cell layout, a full-cell-width window whose own columns sit at
+        # [col_pad, col_pad + bw)
+        if compact:
+            a_blk = a_ref[0, :, :, halo_b : halo_b + mfw].astype(jnp.int32)
+        else:
+            a_blk = a_ref[0, :, col_pad : col_pad + bw, :].astype(jnp.int32)
         o_ref[...] = jnp.zeros_like(o_ref)
         i = 0
         for oy in range(side):
@@ -820,25 +856,32 @@ def refine_mads_stack_pallas(
     lanes = mfw + 2 * halo_b
     cw_cells = (2 * halo_b + 1) * bw
 
-    # ONE shared cell tensor for the whole stack:
-    #   cells[t, row, k*bw + o, j] = padded[t, row, (j + k)*bw + o]
-    # built as a single lane transpose of the padded stack plus
-    # ``2*halo_b + 1`` lane-shifted slices (XLA fuses the transpose into
-    # the concat inputs). Every program's tracked tiles AND its anchor
-    # block view are BlockSpec windows of this array.
+    # ONE shared block-pitched tensor for the whole stack:
+    #   q[t, row, o, jk] = padded[t, row, jk*bw + o]
+    # (a single lane transpose of the padded stack). Every program's
+    # tracked tiles AND its anchor block view are BlockSpec windows of
+    # either q itself (``compact``: the ``2*halo_b + 1`` lane-shift
+    # widening to cell layout happens in-kernel — the former HBM cells
+    # tensor duplicated every base-level byte 3x, ~100 MB/batch at
+    # 1080p) or, for the small levels where per-program widening costs
+    # more than their tiny cell tensors, of the XLA-widened cells.
     padded = jnp.pad(
         stack, ((0, 0), (row_pad, row_pad), (col_pad, col_pad))
     )
     q = jnp.swapaxes(
         padded.reshape(tp1, fh + 2 * row_pad, lanes, bw), -1, -2
     )  # (T+1, rows_p, bw, lanes)
-    cells = jnp.concatenate(
-        [q[:, :, :, k : k + mfw] for k in range(2 * halo_b + 1)], axis=2
-    )  # (T+1, rows_p, (2*halo_b+1)*bw, mfw)
+    compact = bh >= 16
+    if not compact:
+        cells = jnp.concatenate(
+            [q[:, :, :, k : k + mfw] for k in range(2 * halo_b + 1)],
+            axis=2,
+        )  # (T+1, rows_p, (2*halo_b+1)*bw, mfw)
 
     two_stage = _two_stage_ok(bound_in)
     kernel = _make_stack_refine_kernel(
-        r, bound_in, bh, bw, row_pad, col_pad, n_tiles, two_stage
+        r, bound_in, bh, bw, row_pad, col_pad, n_tiles, two_stage, mfw,
+        compact,
     )
     wh_, ww_ = bh + 2 * r, bw + 2 * r
     if two_stage:
@@ -849,17 +892,22 @@ def refine_mads_stack_pallas(
         ]
     else:
         scratches = [pltpu.VMEM((wh_, cw_cells, mfw), jnp.uint8)]
+    if compact:
+        scratches = [
+            pltpu.VMEM((n_tiles * bh, cw_cells, mfw), jnp.uint8)
+        ] + scratches
 
+    vshape = (1, bh, bw, lanes) if compact else (1, bh, cw_cells, mfw)
     tile_specs = [
         pl.BlockSpec(
-            (1, bh, cw_cells, mfw),
+            vshape,
             functools.partial(lambda d, ti, i: (ti, i + d, 0, 0), d),
             memory_space=pltpu.VMEM,
         )
         for d in range(n_tiles)
     ]
     anchor_spec = pl.BlockSpec(
-        (1, bh, cw_cells, mfw),
+        vshape,
         lambda ti, i: (ti + 1, i + rowpad_b, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -880,7 +928,10 @@ def refine_mads_stack_pallas(
         out_shape=jax.ShapeDtypeStruct((t, mfh, rows_out, mfw), jnp.int32),
         scratch_shapes=scratches,
         interpret=(jax.default_backend() == "cpu"),
-    )(*([cells] * n_tiles), cells, mv_yx.reshape(t, mfh, 2, 1, mfw))
+    )(
+        *([q if compact else cells] * (n_tiles + 1)),
+        mv_yx.reshape(t, mfh, 2, 1, mfw),
+    )
 
 
 def stack_refine_supported(
