@@ -176,15 +176,35 @@ def _filter_matrix(w: int):
     return m
 
 
-def _pyr_mxu_kernel(x_ref, xh_ref, m_ref, out_ref):
-    # x: (1, 2*RT, W) uint8 main rows of the row-padded plane; xh: the
-    # 8-row block below (first 4 rows real); m: (W, OW) bf16 filter matrix
+def _pyr_mxu_kernel(xp_ref, x_ref, xn_ref, m_ref, out_ref, *, n_tiles):
+    # x: (1, 2*RT, W) uint8 main rows of the UNPADDED plane; xp/xn: the
+    # 8-row blocks just above/below (index-map clamped at the frame edges,
+    # where the reflect-101 border rows are synthesized from the main
+    # block instead); m: (W, OW) bf16 filter matrix. Reading the raw plane
+    # through three views replaces the (T, H+8, W) row-padded concat copy
+    # the previous version materialized in HBM (~0.3 ms/batch at 1080p).
     _, rows, w = x_ref.shape
     out_w = m_ref.shape[1]
     out_h = rows // 2
     hp = rows + 4
 
-    x = jnp.concatenate([x_ref[0], xh_ref[0][:4]], axis=0)
+    i = pl.program_id(1)
+    xm = x_ref[0]
+    # two rows above (source rows 2rt*i - 2, -1): interior tiles take the
+    # last two halo rows; tile 0 takes reflect-101 rows [2, 1] from its
+    # own main block
+    above = [
+        jnp.where(i == 0, xm[2:3], xp_ref[0, 6:7]),
+        jnp.where(i == 0, xm[1:2], xp_ref[0, 7:8]),
+    ]
+    # two rows below (source rows 2rt*(i+1), +1): interior tiles read the
+    # next block; the last tile reflects rows [h-2, h-3] from its main
+    last = n_tiles - 1
+    below = [
+        jnp.where(i == last, xm[rows - 2 : rows - 1], xn_ref[0, 0:1]),
+        jnp.where(i == last, xm[rows - 3 : rows - 2], xn_ref[0, 1:2]),
+    ]
+    x = jnp.concatenate(above + [xm] + below, axis=0)
     xb = x.astype(jnp.int32).astype(jnp.bfloat16)
     hf = jax.lax.dot_general(
         xb,
@@ -213,6 +233,8 @@ def _pyr_mxu_kernel(x_ref, xh_ref, m_ref, out_ref):
 @jax.jit
 def pyr_down_mxu_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
     """One pyramid reduction of ``(T, H, W)`` uint8 planes via the MXU."""
+    import functools as _ft
+
     import numpy as np
 
     t, h, w = imgs.shape
@@ -220,36 +242,41 @@ def pyr_down_mxu_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
     rt = _row_tile(out_h)
     n_tiles = out_h // rt
 
-    # row reflect-101 pad only (top rows [2,1]; bottom rows [h-2,h-3]),
-    # plus 4 junk rows so the last tile's 8-row halo block is in bounds
-    top = imgs[:, 1:3][:, ::-1]
-    bot = imgs[:, h - 3 : h - 1][:, ::-1]
-    xp = jnp.concatenate([top, imgs, bot, bot], axis=1)  # (t, h+8, w)
-
     m = jnp.asarray(_filter_matrix(w).astype(np.float32), jnp.bfloat16)
 
+    # three views of the raw plane: an 8-row block above the tile, the
+    # 2*rt main rows, and an 8-row block below; the above/below indices
+    # clamp into range at the frame edges (tile 0 / last tile), where the
+    # kernel substitutes in-kernel reflect-101 rows and never reads the
+    # clamped block's rows
+    nblk8 = h // 8
     main_spec = pl.BlockSpec(
         (1, 2 * rt, w), lambda ti, i: (ti, i, 0), memory_space=pltpu.VMEM
     )
-    halo_spec = pl.BlockSpec(
+    prev_spec = pl.BlockSpec(
         (1, 8, w),
-        lambda ti, i: (ti, rt * (i + 1) // 4, 0),
+        lambda ti, i: (ti, jnp.maximum(rt * i // 4 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    next_spec = pl.BlockSpec(
+        (1, 8, w),
+        lambda ti, i: (ti, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
     m_spec = pl.BlockSpec(
         (w, out_w), lambda ti, i: (0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _pyr_mxu_kernel,
+        _ft.partial(_pyr_mxu_kernel, n_tiles=n_tiles),
         grid=(t, n_tiles),
-        in_specs=[main_spec, halo_spec, m_spec],
+        in_specs=[prev_spec, main_spec, next_spec, m_spec],
         out_specs=pl.BlockSpec(
             (1, rt, out_w), lambda ti, i: (ti, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((t, out_h, out_w), jnp.uint8),
         interpret=(jax.default_backend() == "cpu"),
-    )(xp, xp, m)
+    )(imgs, imgs, imgs, m)
 
 
 def pallas_pyr_mxu_supported(h: int, w: int) -> bool:
