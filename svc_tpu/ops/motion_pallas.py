@@ -456,12 +456,16 @@ def _make_two_stage_refine_kernel(
             sl = cc[:, 2 + f : 2 + f + ww, :]
             out = sl if out is None else jnp.where(fx == f, sl, out)
 
+        # widen the selected window ONCE; the per-candidate slices below
+        # then read int32 directly (hoisting the unpack out of the loop
+        # removes (2r+1)^2 - 1 full-block convert passes per program)
+        out32 = out.astype(jnp.int32)
         a_blk = a_ref[0].astype(jnp.int32)
         o_ref[...] = jnp.zeros_like(o_ref)
         i = 0
         for oy in range(2 * r + 1):
             for ox in range(2 * r + 1):
-                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                cand = out32[oy : oy + bh, ox : ox + bw, :]
                 sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
                 o_ref[0, i : i + 1, :] = sad[None, :]
                 i += 1
@@ -507,13 +511,15 @@ def _make_fused_refine_kernel(
             out = sl if out is None else jnp.where(mvx == s, sl, out)
 
         # every candidate is a static slice; |a-b| in int32 (uint8
-        # max/min and int16 abs both crash this Mosaic build)
+        # max/min and int16 abs both crash this Mosaic build); the
+        # window unpacks to int32 once, outside the candidate loop
+        out32 = out.astype(jnp.int32)
         a = a_ref[0].astype(jnp.int32)
         o_ref[...] = jnp.zeros_like(o_ref)
         i = 0
         for oy in range(2 * r + 1):
             for ox in range(2 * r + 1):
-                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                cand = out32[oy : oy + bh, ox : ox + bw, :]
                 sad = jnp.sum(jnp.abs(cand - a), axis=(0, 1))
                 o_ref[0, i : i + 1, :] = sad[None, :]
                 i += 1
@@ -804,11 +810,14 @@ def _make_stack_refine_kernel(
             a_blk = a_ref[0, :, :, halo_b : halo_b + mfw].astype(jnp.int32)
         else:
             a_blk = a_ref[0, :, col_pad : col_pad + bw, :].astype(jnp.int32)
+        # unpack the selected window to int32 ONCE; per-candidate slices
+        # then skip (2r+1)^2 - 1 full-block convert passes per program
+        out32 = out.astype(jnp.int32)
         o_ref[...] = jnp.zeros_like(o_ref)
         i = 0
         for oy in range(side):
             for ox in range(side):
-                cand = out[oy : oy + bh, ox : ox + bw, :].astype(jnp.int32)
+                cand = out32[oy : oy + bh, ox : ox + bw, :]
                 sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
                 o_ref[0, 0, i : i + 1, :] = sad[None, :]
                 i += 1
