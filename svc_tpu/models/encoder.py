@@ -51,7 +51,9 @@ from svc_tpu.ops.color import bgr_planes_to_y
 from svc_tpu.ops import interleave
 from svc_tpu.ops.dct import dct2_planes_to_wire
 from svc_tpu.ops.dct_pallas import (
+    dct2_jsplit_to_wire_pallas,
     dct2_planes_to_wire_pallas,
+    pallas_wire_dct_jsplit_supported,
     pallas_wire_dct_supported,
 )
 from svc_tpu.ops.kmeans import kmeans_t
@@ -103,6 +105,29 @@ class Encoder:
             raise ValueError(
                 "RANSAC parameters yield zero hypotheses; nothing to fit"
             )
+
+        # j-split frontend: the de-interleave emits DCT-column-pitched
+        # subplanes directly (ops/interleave.deinterleave_rows_jsplit), so
+        # the spatial planes — and the ~1 ms/batch pitch transpose that
+        # fed the DCT kernel — never materialize. Luma computes pointwise
+        # in the pitched layout and respatializes with one thin transpose
+        # (1/3 of the plane bytes). Needs an unpadded lane-aligned width
+        # and the paired wire-DCT kernel; the visualizer path
+        # (keep_planes) wants spatial planes and keeps the classic route.
+        self._use_jsplit = (
+            not keep_planes
+            and self.excess_w == 0
+            and interleave.jsplit_supported(
+                vidprops.frame_w, cfg.transform_block_w
+            )
+            and pallas_wire_dct_jsplit_supported(
+                3,
+                self.padded_h,
+                self.padded_w,
+                cfg.transform_block_w,
+                cfg.transform_block_h,
+            )
+        )
 
         self.encode_pairs = self._build_encode_pairs()
         # the traceable batch step (public, for jit/sharding composition)
@@ -262,7 +287,15 @@ class Encoder:
             # serialization is a memcpy. The Pallas kernel pins the
             # layouts end to end (ops/dct_pallas.py); the einsum path is
             # the identical-algorithm fallback (ops/dct.py)
-            if pallas_wire_dct_supported(
+            if self._use_jsplit:
+                # planes arrive column-pitched (3, bw, T+1, PH, nbx)
+                coeffs = dct2_jsplit_to_wire_pallas(
+                    planes,
+                    cfg.transform_block_w,
+                    cfg.transform_block_h,
+                    frame_offset=1,
+                )
+            elif pallas_wire_dct_supported(
                 3, self.padded_h, self.padded_w,
                 cfg.transform_block_w, cfg.transform_block_h,
             ):
@@ -310,6 +343,21 @@ class Encoder:
         """
         n, h, w3 = packed_bgr.shape
         w = w3 // 3
+        if self._use_jsplit:
+            tbw = self.cfg.transform_block_w
+            p = interleave.deinterleave_rows_jsplit(
+                packed_bgr, 3, tbw
+            )  # (3, tbw, N, H, nbx) column-pitched subplanes
+            p = jnp.pad(
+                p, ((0, 0), (0, 0), (0, 0), (0, self.excess_h), (0, 0))
+            )  # bottom zero rows = pad_frame on every subplane
+            y8 = bgr_planes_to_y(p[0], p[1], p[2])  # (tbw, N, PH, nbx)
+            # respatialize luma for the pyramid/motion stages: moving the
+            # column phase j to the minor axis makes col = bx*tbw + j
+            y = y8.transpose(1, 2, 3, 0).reshape(
+                n, self.padded_h, self.padded_w
+            )
+            return p, tuple(build_pyramid(y, self.cfg.pyr_lvl_count))
         if interleave.lane_aligned(w):
             # selection-matmul de-interleave (ops/interleave.py): the
             # stride-3 lane slices lower to scalar gathers plus relayout

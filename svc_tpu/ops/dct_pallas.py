@@ -96,6 +96,25 @@ def _stage1_bf16_terms(block_w: int, block_h: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _jsplit_row_perm(block_w: int, block_h: int) -> np.ndarray:
+    """Input-sublane permutation for column-pitched (j-split) planes.
+
+    The j-split frontend (interleave.deinterleave_rows_jsplit) delivers a
+    block's pixels as ``bw`` subplanes stacked ``(j*bh + i)`` instead of
+    the spatial ``(i*bw + j)``; permuting the stage-1 weight ROWS the same
+    way keeps every output coefficient's 8 nonzero products in the same
+    K order, so results are BIT-IDENTICAL to the spatial-input kernel
+    (zeros interleave differently, but adding exact zeros in any order
+    changes nothing)."""
+    n = block_h * block_w
+    perm = np.empty(n, np.int64)
+    for i in range(block_h):
+        for j in range(block_w):
+            perm[j * block_h + i] = i * block_w + j
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
 def _pair_stage_weights(block_w: int, block_h: int):
     """Row-paired stage weights diag(W, W): two block rows stacked on the
     contraction axis make K = N = 2n = 128 — a full MXU tile instead of
@@ -112,28 +131,57 @@ def _pair_stage_weights(block_w: int, block_h: int):
     return t1p, w2p
 
 
-def _make_pair_kernel(channels: int, pairs_per_step: int, n: int, nbx: int):
+def _make_pair_kernel(
+    channels: int, pairs_per_step: int, n: int, nbx: int, bw_split: int = 0
+):
     def kernel(*refs):
         m1_refs = refs[0:3]
         m2_ref = refs[3]
-        plane_refs = refs[4 : 4 + channels]
-        o_ref = refs[4 + channels]
+        n_planes = channels * bw_split if bw_split else channels
+        plane_refs = refs[4 : 4 + n_planes]
+        o_ref = refs[4 + n_planes]
         m1_terms = [r[...] for r in m1_refs]
         m2 = m2_ref[...]
         for u in range(pairs_per_step):
-            x = jnp.concatenate(
-                [
-                    jnp.concatenate(
-                        [
-                            ref[0, 0, 2 * u + v].reshape(n, nbx)
-                            for ref in plane_refs
-                        ],
-                        axis=1,
-                    )
-                    for v in (0, 1)
-                ],
-                axis=0,
-            )  # (2n, C*nbx)
+            if bw_split:
+                # j-split planes: per channel, concat the bw column-phase
+                # subplanes on sublanes — rows ordered (j*bh + i), matched
+                # by the permuted stage-1 weights (_jsplit_row_perm)
+                x = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [
+                                jnp.concatenate(
+                                    [
+                                        plane_refs[c * bw_split + j][
+                                            0, 0, 0, 2 * u + v
+                                        ]
+                                        for j in range(bw_split)
+                                    ],
+                                    axis=0,
+                                )
+                                for c in range(channels)
+                            ],
+                            axis=1,
+                        )
+                        for v in (0, 1)
+                    ],
+                    axis=0,
+                )  # (2n, C*nbx)
+            else:
+                x = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [
+                                ref[0, 0, 2 * u + v].reshape(n, nbx)
+                                for ref in plane_refs
+                            ],
+                            axis=1,
+                        )
+                        for v in (0, 1)
+                    ],
+                    axis=0,
+                )  # (2n, C*nbx)
             xb = x.astype(jnp.int32).astype(jnp.bfloat16)
             a = None
             for m in m1_terms:
@@ -269,6 +317,83 @@ def dct2_planes_to_wire_pallas(
         out_shape=jax.ShapeDtypeStruct((t, nby, nbx, c * n), jnp.float32),
         interpret=(jax.default_backend() == "cpu"),
     )(*[jnp.asarray(m) for m in m1_terms], jnp.asarray(w2), *([p5] * c))
+
+
+def dct2_jsplit_to_wire_pallas(
+    planes: jnp.ndarray,
+    block_w: int,
+    block_h: int,
+    frame_offset: int = 0,
+) -> jnp.ndarray:
+    """Forward blockwise DCT of column-pitched (j-split) uint8 planes
+    ``(C, bw, T, H, nbx)`` (interleave.deinterleave_rows_jsplit) into wire
+    layout ``(T - frame_offset, nby, nbx, C*bh*bw)`` float32.
+
+    Same two-stage MXU pipeline as :func:`dct2_planes_to_wire_pallas`,
+    consuming the de-interleave's pitched output DIRECTLY: the spatial
+    path's full-stack pitch transpose (~1 ms/batch at 1080p) never runs.
+    The stage-1 weights are row-permuted to the (j*bh + i) sublane order
+    the subplane concat produces; the 8 nonzero products per coefficient
+    keep their K order, so coefficients are BIT-IDENTICAL to the spatial
+    kernel (asserted in tests/test_dct.py)."""
+    c, bw_, tf, h, nbx = planes.shape
+    assert bw_ == block_w
+    t = tf - frame_offset
+    nby = h // block_h
+    n = block_h * block_w
+    r = _rows_per_step(nby)
+    assert r % 2 == 0, "j-split kernel requires an even rows-per-step"
+
+    p6 = planes.reshape(c, block_w, tf, nby, block_h, nbx)
+
+    t1p, w2 = _pair_stage_weights(block_w, block_h)
+    perm = _jsplit_row_perm(block_w, block_h)
+    perm2 = np.concatenate([perm, perm + n])
+    m1_terms = tuple(m[perm2] for m in t1p)
+    kernel = _make_pair_kernel(c, r // 2, n, nbx, bw_split=block_w)
+    msz = 2 * n
+    mspec = pl.BlockSpec(
+        (msz, msz), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    pspecs = [
+        pl.BlockSpec(
+            (1, 1, 1, r, block_h, nbx),
+            functools.partial(
+                lambda ci, ji, ti, yi: (
+                    ci, ji, ti + frame_offset, yi, 0, 0
+                ),
+                ci, ji,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for ci in range(c)
+        for ji in range(block_w)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(t, nby // r),
+        in_specs=[mspec] * 4 + pspecs,
+        out_specs=pl.BlockSpec(
+            (1, r, nbx, c * n), lambda ti, yi: (ti, yi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, nby, nbx, c * n), jnp.float32),
+        interpret=(jax.default_backend() == "cpu"),
+    )(
+        *[jnp.asarray(m) for m in m1_terms],
+        jnp.asarray(w2),
+        *([p6] * (c * block_w)),
+    )
+
+
+def pallas_wire_dct_jsplit_supported(
+    channels: int, h: int, w: int, block_w: int, block_h: int
+) -> bool:
+    """Gate for the j-split forward kernel: the spatial gate plus an even
+    rows-per-step (the j-split variant only implements the paired path)."""
+    if not pallas_wire_dct_supported(channels, h, w, block_w, block_h):
+        return False
+    return _rows_per_step(h // block_h) % 2 == 0
 
 
 # ---------------------------------------------------------------------------

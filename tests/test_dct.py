@@ -126,6 +126,53 @@ class TestWireDctPallas:
             dct_pallas._rows_per_step = orig
         np.testing.assert_array_equal(np.asarray(paired), np.asarray(unpaired))
 
+    def test_jsplit_bit_identical_to_spatial(self):
+        """The j-split forward kernel (column-pitched subplane input with
+        row-permuted stage-1 weights) must be BIT-identical to the spatial
+        kernel: the permutation only reorders exact-zero products."""
+        from svc_tpu.ops.dct_pallas import (
+            dct2_jsplit_to_wire_pallas,
+            dct2_planes_to_wire_pallas,
+            pallas_wire_dct_jsplit_supported,
+        )
+        from svc_tpu.ops.interleave import deinterleave_rows_jsplit
+
+        rng = np.random.default_rng(7)
+        c, t, h, w = 3, 3, 64, 256  # nby=8 -> r=8 (paired), w%128==0
+        frames = rng.integers(0, 256, (t, h, w, c), dtype=np.uint8)
+        packed = jnp.asarray(frames.reshape(t, h, w * c))
+        jp = deinterleave_rows_jsplit(packed, c, 8)  # (3, 8, t, h, nbx)
+        # spatial planes from the same frames
+        planes = jnp.asarray(frames.transpose(3, 0, 1, 2))
+        assert pallas_wire_dct_jsplit_supported(c, h, w, 8, 8)
+        ref = dct2_planes_to_wire_pallas(planes, 8, 8, frame_offset=1)
+        got = dct2_jsplit_to_wire_pallas(jp, 8, 8, frame_offset=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_encoder_jsplit_frontend_bit_identical(self):
+        """End-to-end: an encoder on the j-split frontend (pitched
+        de-interleave feeding the j-split DCT kernel, luma respatialized
+        by a thin transpose) produces bit-identical outputs to the
+        spatial-frontend encoder (keep_planes forces the classic path)."""
+        from svc_tpu.config import EncoderConfig, VideoProperties
+        from svc_tpu.models.encoder import Encoder
+
+        t, h, w = 2, 64, 256
+        cfg = EncoderConfig()
+        props = VideoProperties(frame_w=w, frame_h=h, frame_count=t + 1)
+        enc_j = Encoder(cfg, props, batch_size=t)
+        enc_s = Encoder(cfg, props, batch_size=t, keep_planes=True)
+        assert enc_j._use_jsplit and not enc_s._use_jsplit
+
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 256, (t + 1, h, w, 3), dtype=np.uint8)
+        out_j = enc_j.encode_batch(frames, 0)
+        out_s = enc_s.encode_batch(frames, 0)
+        for key in ("coeffs", "block_types", "mv_field", "cluster_labels"):
+            np.testing.assert_array_equal(
+                np.asarray(out_j[key]), np.asarray(out_s[key]), err_msg=key
+            )
+
 
 class TestWireIdctPallas:
     """The fused dequant + wire-IDCT kernel (interpret mode on CPU) must be

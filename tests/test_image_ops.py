@@ -164,3 +164,21 @@ class TestInterleave:
         )
         np.testing.assert_array_equal(np.asarray(got), ref)
         assert not interleave.pitched_interleave_supported(8, 44)  # CIF
+
+    def test_jsplit_deinterleave_matches_stride_slices(self):
+        """deinterleave_rows_jsplit = de-interleave + column pitch: subplane
+        (c, j) lane bx must hold channel c of spatial pixel bx*bw + j."""
+        from svc_tpu.ops import interleave
+
+        rng = np.random.default_rng(5)
+        t, h, w, c, bw = 2, 5, 256, 3, 8
+        assert interleave.jsplit_supported(w, bw)
+        frames = rng.integers(0, 256, (t, h, w, c), np.uint8)
+        packed = jnp.asarray(frames.reshape(t, h, w * c))
+        got = interleave.deinterleave_rows_jsplit(packed, c, bw)
+        assert got.shape == (c, bw, t, h, w // bw)
+        planes = np.transpose(frames, (3, 0, 1, 2))  # (C, T, H, W)
+        ref = planes.reshape(c, t, h, w // bw, bw).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+        assert not interleave.jsplit_supported(352, 8)  # CIF width
+        assert not interleave.jsplit_supported(1920, 7)
