@@ -96,7 +96,7 @@ class Decoder:
         self.batch_size = batch_size
         fn = self._build_decode_batch()
         if mesh is None:
-            self._decode_batch = jax.jit(fn)
+            self._decode_batch = jax.jit(fn, **self._layout_pins())
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -127,6 +127,34 @@ class Decoder:
                 )
 
             self._decode_batch = decode_sharded
+
+    def _layout_pins(self):
+        """Pin the jitted step's boundary layouts to row-major.
+
+        Same rationale as ``Encoder._layout_pins``: left to itself, XLA
+        picks a minor-to-major order for the 400 MB/batch coefficient
+        parameter that "helps" the IDCT kernel's tiling and then inserts a
+        full-tensor relayout copy at program start (measured 2.2 ms of the
+        12 ms 1080p decode batch). The host ships row-major wire
+        coefficients, so the pin deletes pure waste. Best-effort."""
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            dev = jax.devices()[0]
+            sds = SingleDeviceSharding(dev)
+
+            def fmt(ndim):
+                return Format(
+                    Layout(major_to_minor=tuple(range(ndim))), sds
+                )
+
+            return {
+                "in_shardings": (fmt(4), None, None),
+                "out_shardings": fmt(3),
+            }
+        except Exception:
+            return {}
 
     def _build_decode_batch(self):
         cfg = self.cfg
@@ -196,12 +224,12 @@ class Decoder:
                     # 4K): the column step is a pure un-pitch gather, so
                     # the display round/clip commutes past it and fuses
                     # into the row-resample kernel — uint8 from there on
-                    # (quarters the resample+gather traffic)
-                    rows_u8 = jax.vmap(
-                        lambda p: resize_rows_pitched(
-                            p, h.frame_h, emit_u8=True
-                        )
-                    )(pitched)
+                    # (quarters the resample+gather traffic). The whole
+                    # batch goes down in one call: frames share the row
+                    # map, so the kernel batches them per grid step
+                    rows_u8 = resize_rows_pitched(
+                        pitched, h.frame_h, emit_u8=True
+                    )
                     planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
                 else:
                     planes = jax.vmap(

@@ -71,7 +71,7 @@ def _make_lloyd_kernel(
         dim_cols = (col128 < d).astype(jnp.float32)
         tril_c = tril_ref[...]
 
-        def assign_chunk(cen, ch, want_pd2=True):
+        def assign_chunk(cen, ch):
             xs = x_ref[:, ch * cs : (ch + 1) * cs]  # (8, cs)
             mv = m_ref[:, ch * cs : (ch + 1) * cs]  # (1, cs)
             # per-dimension broadcast subtract-square: measured FASTER
@@ -87,8 +87,6 @@ def _make_lloyd_kernel(
             lab = jnp.min(
                 jnp.where(d2 <= best, rowCS, _KPAD), axis=0, keepdims=True
             )  # first-wins ties
-            if not want_pd2:
-                return xs, mv, lab, None
             pd2 = jnp.where(mv > 0, jnp.maximum(best, 0.0), 0.0)
             return xs, mv, lab, pd2
 
@@ -105,9 +103,7 @@ def _make_lloyd_kernel(
                     cen = work_ref[...]
                     sums = None
                     for ch in range(nc):
-                        xs, mv, lab, _ = assign_chunk(
-                            cen, ch, want_pd2=False
-                        )
+                        xs, mv, lab, pd2 = assign_chunk(cen, ch)
                         onehot = (
                             (rowCS == lab).astype(jnp.float32) * mv
                         )  # (16, cs)
@@ -117,6 +113,12 @@ def _make_lloyd_kernel(
                             precision=jax.lax.Precision.HIGHEST,
                         )  # (16, 8): cols 0..d-1 sums, col d counts
                         sums = p if sums is None else sums + p
+                        # parked for the repair pass: recomputing these
+                        # inside the predicated branch was measured SLOWER
+                        # in context (+0.5 ms/batch: empty clusters are
+                        # common enough that the recompute fires most
+                        # iterations while the parking costs ~3 passes)
+                        pd2_ref[:, ch * cs : (ch + 1) * cs] = pd2
                     counts = sums[:, d : d + 1]  # (16, 1)
                     newc = sums / jnp.maximum(counts, 1.0)
                     newc = jnp.pad(
@@ -132,14 +134,7 @@ def _make_lloyd_kernel(
                         # farthest-point one-hot rows (sequential masked
                         # argmax, same picks as ops/kmeans.py's take_far
                         # for used ranks) — predicated out entirely on the
-                        # common no-empty-cluster iteration. The point
-                        # distances re-derive from the SAME centers the
-                        # assignment used (bit-identical to parking them
-                        # every iteration, which cost ~3 passes per
-                        # iteration for a value this branch rarely reads)
-                        for ch in range(nc):
-                            _, _, _, pd2 = assign_chunk(cen, ch)
-                            pd2_ref[:, ch * cs : (ch + 1) * cs] = pd2
+                        # common no-empty-cluster iteration
                         maskv = m_ref[...]
                         d2left = jnp.where(maskv > 0, pd2_ref[...], -1.0)
                         for m in range(k):

@@ -51,12 +51,14 @@ def bilinear_axis_weights(out_n: int, in_n: int):
 def resize_rows_pitched(
     img: jnp.ndarray, out_h: int, emit_u8: bool = False
 ) -> jnp.ndarray:
-    """Row-only bilinear resample of one frame's column-pitched planes
-    ``(C, H, bw, nbx)`` to ``(C, out_h, bw, nbx)`` — the vertical half of
-    the decoder's display resize, for callers whose column step is a pure
-    gather. ``emit_u8`` fuses the display round/clip (uint8 output, same
-    round-half-even + clamp as the XLA tail) — exact because gathering
-    commutes with per-element rounding."""
+    """Row-only bilinear resample of column-pitched planes
+    ``(C, H, bw, nbx)`` (or a batched ``(T, C, H, bw, nbx)`` stack — pass
+    the stack rather than vmapping: every frame shares the row map, so the
+    kernel runs one fat grid step per (channel, row tile)) to ``out_h``
+    rows — the vertical half of the decoder's display resize, for callers
+    whose column step is a pure gather. ``emit_u8`` fuses the display
+    round/clip (uint8 output, same round-half-even + clamp as the XLA
+    tail) — exact because gathering commutes with per-element rounding."""
     h = img.shape[-3]
     y0, y1, fy, y_ident = bilinear_axis_weights(out_h, h)
 
@@ -72,7 +74,7 @@ def resize_rows_pitched(
         rows_pallas_supported,
     )
 
-    if img.ndim == 4 and rows_pallas_supported(
+    if img.ndim in (4, 5) and rows_pallas_supported(
         y0, y1, fy, h, img.shape[-2] * img.shape[-1]
     ):
         return resize_rows_pallas(img, y0, y1, fy, emit_u8=emit_u8)
