@@ -96,7 +96,24 @@ class Decoder:
         self.batch_size = batch_size
         fn = self._build_decode_batch()
         if mesh is None:
-            self._decode_batch = jax.jit(fn, **self._layout_pins())
+            pins = self._layout_pins()
+            jitted = jax.jit(fn, **pins)
+            in_fmts = pins.get("in_shardings")
+            if in_fmts:
+
+                def decode_pinned(coeffs, btypes, rects):
+                    # host arrays transfer straight into the pinned
+                    # layout; an already-device-resident operand in a
+                    # different layout (profilers, tests pre-staging with
+                    # device_put) is relaid out here instead of erroring
+                    # at the jit boundary
+                    return jitted(
+                        jax.device_put(coeffs, in_fmts[0]), btypes, rects
+                    )
+
+                self._decode_batch = decode_pinned
+            else:
+                self._decode_batch = jitted
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
