@@ -40,9 +40,10 @@ def main():
     payload = 3 * cfg.transform_block_h * cfg.transform_block_w
     rng = np.random.default_rng(1)
     dev = jax.devices()[0]
-    coeffs = jax.device_put(
-        (rng.normal(size=(t, nby, nbx, payload)) * 50).astype(np.float32),
-        dev,
+    # stage into the decoder's pinned layout: a bare device_put lands in
+    # XLA's default (tiled) layout and every call pays a full relayout
+    coeffs = dec.stage_coeffs(
+        (rng.normal(size=(t, nby, nbx, payload)) * 50).astype(np.float32)
     )
     btypes = jax.device_put(
         rng.integers(0, 4, (t, nby, nbx)).astype(np.uint32), dev
@@ -81,7 +82,7 @@ def main():
         import re
 
         txt = (
-            dec._decode_batch
+            getattr(dec, "_decode_jit", dec._decode_batch)
             .lower(
                 jax.ShapeDtypeStruct(coeffs.shape, np.float32),
                 jax.ShapeDtypeStruct(btypes.shape, np.uint32),

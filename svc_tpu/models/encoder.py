@@ -56,7 +56,7 @@ from svc_tpu.ops.dct_pallas import (
     pallas_wire_dct_jsplit_supported,
     pallas_wire_dct_supported,
 )
-from svc_tpu.ops.kmeans import kmeans_t
+from svc_tpu.ops.kmeans import kmeans_t_frames
 from svc_tpu.ops.morphology import close_then_open
 from svc_tpu.ops.motion import hbma_stack
 from svc_tpu.ops.pad import pad_frame, padded_dims
@@ -198,7 +198,11 @@ class Encoder:
         k = cfg.kmeans.cluster_count
 
         def per_pair(mv: jnp.ndarray, key: jnp.ndarray):
-            """Segmentation for one frame's motion field."""
+            """Segmentation frontend for one frame's motion field
+            (everything up to the k-means features; the clustering itself
+            runs frame-BATCHED outside the vmap — ops.kmeans
+            kmeans_t_frames — so all frames' Lloyd attempts share one
+            fused kernel invocation)."""
             k_ransac, k_kmeans = jax.random.split(key)
             gm, rmse, inliers = estimate_global_motion_ransac(
                 mv, cfg.ransac, k_ransac
@@ -232,18 +236,7 @@ class Encoder:
             feats_t = jnp.stack([rw.reshape(-1) for rw in rows])
             mask_flat = fg.reshape(-1)
 
-            labels, _, _ = kmeans_t(
-                feats_t,
-                mask_flat,
-                k,
-                k_kmeans,
-                attempts=cfg.kmeans.attempt_count,
-                max_iter=cfg.kmeans.max_iter_count,
-                epsilon=cfg.kmeans.epsilon,
-            )
-            labels = labels.reshape(mfh, mfw)
-
-            return fg_raw, fg, labels, gm, rmse
+            return fg_raw, fg, gm, rmse, feats_t, mask_flat, k_kmeans
 
         def encode_pairs(
             pyr_stack: Tuple[jnp.ndarray, ...],
@@ -269,7 +262,19 @@ class Encoder:
                 cfg.mv_block_w,
                 cfg.mv_block_h,
             )
-            fg_raw, fg, labels, gm, rmse = jax.vmap(per_pair)(mv, keys)
+            fg_raw, fg, gm, rmse, feats, masks, kmeans_keys = jax.vmap(
+                per_pair
+            )(mv, keys)
+            labels, _, _ = kmeans_t_frames(
+                feats,
+                masks,
+                k,
+                kmeans_keys,
+                attempts=cfg.kmeans.attempt_count,
+                max_iter=cfg.kmeans.max_iter_count,
+                epsilon=cfg.kmeans.epsilon,
+            )
+            labels = labels.reshape(-1, mfh, mfw)
 
             # per-cluster connected components -> block types
             # (libs/encoder.cpp:597-623), one fused batched propagation over

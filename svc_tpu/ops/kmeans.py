@@ -266,6 +266,92 @@ def kmeans_t(
     return labels.astype(jnp.int32), centers_a[best], compact_a[best]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "attempts", "max_iter", "epsilon")
+)
+def kmeans_t_frames(
+    features_t: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    keys: jnp.ndarray,
+    attempts: int = 3,
+    max_iter: int = 10,
+    epsilon: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frame-batched :func:`kmeans_t`: cluster every frame of an encode
+    batch in ONE fused kernel invocation.
+
+    Args:
+      features_t: ``(F, D, N)`` float32, one feature set per frame.
+      mask: ``(F, N)`` bool validity.
+      keys: ``(F,)`` PRNG keys (the per-frame streams are split exactly
+        as ``kmeans_t`` splits them, so seeds — and hence results — match
+        the per-frame path bit for bit).
+
+    Returns ``(labels (F, N), centers (F, k, D), compactness (F,))``.
+    On backends/shapes outside the batched kernel's gate this falls back
+    to a vmap of the per-frame path (identical semantics).
+    """
+    from svc_tpu.ops.kmeans_pallas import (
+        lloyd_frame_group,
+        lloyd_pallas_batched,
+    )
+
+    f, d, n = features_t.shape
+    grp = lloyd_frame_group(f, n, k, d)
+    if not grp:
+        return jax.vmap(
+            lambda ft, mk, kk: kmeans_t(
+                ft, mk, k, kk,
+                attempts=attempts, max_iter=max_iter, epsilon=epsilon,
+            )
+        )(features_t, mask, keys)
+
+    keys_a = jax.vmap(lambda kk: jax.random.split(kk, attempts))(
+        keys
+    )  # (F, A)
+    centers0 = jax.vmap(
+        lambda ft, mk, ks: jax.vmap(
+            lambda kk: _plus_plus_init(kk, ft, mk, k)
+        )(ks)
+    )(features_t, mask, keys_a)  # (F, A, k, d)
+    init = (
+        jnp.zeros((attempts, f, 16, 128), jnp.float32)
+        .at[:, :, :k, :d]
+        .set(jnp.swapaxes(centers0, 0, 1))
+    )
+    x_aug = (
+        jnp.zeros((f, 8, n), jnp.float32)
+        .at[:, :d]
+        .set(features_t)
+        .at[:, d]
+        .set(1.0)
+    )
+    mask_f = mask.astype(jnp.float32)[:, None, :]
+    # frame groups sized to the kernel's VMEM gate (one invocation per
+    # group; 1080p's 16-frame batch runs as two 8-frame groups)
+    parts = [
+        lloyd_pallas_batched(
+            x_aug[s : s + grp],
+            mask_f[s : s + grp],
+            init[:, s : s + grp],
+            k, d, max_iter, float(epsilon),
+        )
+        for s in range(0, f, grp)
+    ]
+    lab_a = jnp.concatenate([p[0] for p in parts], axis=1)
+    cen_a = jnp.concatenate([p[1] for p in parts], axis=1)
+    compact_a = jnp.concatenate([p[2] for p in parts], axis=1)
+    best = jnp.argmin(compact_a, axis=0)  # (F,)
+    lab = jnp.take_along_axis(lab_a, best[None, :, None], axis=0)[0]
+    labels = jnp.where(mask, lab, -1).astype(jnp.int32)
+    centers = jnp.take_along_axis(
+        cen_a, best[None, :, None, None], axis=0
+    )[0][:, :k, :d]
+    compact = jnp.take_along_axis(compact_a, best[None, :], axis=0)[0]
+    return labels, centers, compact
+
+
 def kmeans(
     features: jnp.ndarray,
     mask: jnp.ndarray,

@@ -133,6 +133,29 @@ class TestKMeans:
         assert len({int(i[0]) for i in ids}) == 3
         assert float(compact) < 120 * 4 * 0.5
 
+    def test_frames_batched_matches_per_frame(self):
+        """kmeans_t_frames (the encoder's frame-batched entry) must equal
+        a per-frame vmap of kmeans_t — labels, centers, compactness."""
+        from svc_tpu.ops.kmeans import kmeans_t, kmeans_t_frames
+
+        rng = np.random.default_rng(4)
+        f, d, n, k = 3, 4, 192, 5
+        feats = rng.integers(-8, 9, (f, d, n)).astype(np.float32)
+        mask = rng.random((f, n)) < 0.4
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.key(3), jnp.arange(f)
+        )
+        lab_b, cen_b, cmp_b = kmeans_t_frames(
+            jnp.asarray(feats), jnp.asarray(mask), k, keys
+        )
+        lab_p, cen_p, cmp_p = jax.vmap(
+            lambda ft, mk, kk: kmeans_t(ft, mk, k, kk)
+        )(jnp.asarray(feats), jnp.asarray(mask), keys)
+        np.testing.assert_array_equal(np.asarray(lab_b), np.asarray(lab_p))
+        np.testing.assert_allclose(
+            np.asarray(cmp_b), np.asarray(cmp_p), rtol=1e-6
+        )
+
     def test_masked_points_excluded(self):
         rng = np.random.default_rng(1)
         x = rng.normal(0, 1, (50, 4)).astype(np.float32)
