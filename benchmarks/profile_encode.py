@@ -32,7 +32,11 @@ def main():
     sys.path.insert(0, "/root/repo")
     from bench import make_frames
 
-    t, h, w = 16, 1080, 1920
+    import os
+
+    # geometry override: SVC_PROFILE_GEOM=T,H,W (e.g. 8,2160,3840 for 4K)
+    geom = os.environ.get("SVC_PROFILE_GEOM", "16,1080,1920")
+    t, h, w = (int(v) for v in geom.split(","))
     cfg = EncoderConfig()
     props = VideoProperties(frame_w=w, frame_h=h, frame_count=t + 1)
     enc = Encoder(cfg, props, batch_size=t)
