@@ -88,7 +88,7 @@ def _encode_fps(h, w, t, iters):
     enc = Encoder(cfg, VideoProperties(w, h, t + 1), batch_size=t)
     frames = make_frames(t + 1, h, w)
     keys = enc._keys(0, t)
-    fdev = jax.device_put(frames.reshape(t + 1, h, w * 3))
+    fdev = enc.stage_frames(frames.reshape(t + 1, h, w * 3))
 
     t0 = time.perf_counter()
     out = _sync(enc._encode_batch(fdev, keys))

@@ -53,7 +53,7 @@ def main():
         np.asarray(jax.device_get(leaf.ravel()[0:1]))
         return x
 
-    fdev = jax.device_put(frames.reshape(t + 1, h, w * 3))
+    fdev = enc.stage_frames(frames.reshape(t + 1, h, w * 3))
     keys = enc._keys(0, t)
 
     out = sync(enc._encode_batch(fdev, keys))

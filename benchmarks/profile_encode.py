@@ -44,7 +44,7 @@ def main():
     frames = make_frames(t + 1, h, w)
     keys = enc._keys(0, t)
     packed = jnp_packed = np.ascontiguousarray(frames).reshape(t + 1, h, w * 3)
-    x = jax.device_put(jnp_packed)
+    x = enc.stage_frames(jnp_packed)  # pinned layout, no per-call relayout
 
     def sync(out):
         leaf = jax.tree_util.tree_leaves(out)[0]

@@ -418,6 +418,17 @@ class Encoder:
             channel_count=3,
         )
 
+    def stage_frames(self, packed: np.ndarray):
+        """Transfer host packed frames into the program's pinned device
+        layout in one H2D copy (benchmarks that stage inputs ahead of the
+        timing loop should use this — a bare ``device_put`` can pick a
+        different layout and force a full on-device relayout per batch,
+        measured 1.3 ms at 4K)."""
+        fmt = (self._layout_pins().get("in_shardings") or (None,))[0]
+        if fmt is None:
+            return jnp.asarray(packed)
+        return jax.device_put(packed, fmt)
+
     def _keys(self, start_index: int, count: int) -> jnp.ndarray:
         base = jax.random.key(self.cfg.seed)
         return jax.vmap(

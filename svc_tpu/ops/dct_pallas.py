@@ -132,7 +132,12 @@ def _pair_stage_weights(block_w: int, block_h: int):
 
 
 def _make_pair_kernel(
-    channels: int, pairs_per_step: int, n: int, nbx: int, bw_split: int = 0
+    channels: int,
+    pairs_per_step: int,
+    n: int,
+    nbx: int,
+    bw_split: int = 0,
+    rows_per_block: int = 0,
 ):
     def kernel(*refs):
         m1_refs = refs[0:3]
@@ -142,11 +147,15 @@ def _make_pair_kernel(
         o_ref = refs[4 + n_planes]
         m1_terms = [r[...] for r in m1_refs]
         m2 = m2_ref[...]
+        bh = rows_per_block
+
         for u in range(pairs_per_step):
             if bw_split:
                 # j-split planes: per channel, concat the bw column-phase
                 # subplanes on sublanes — rows ordered (j*bh + i), matched
-                # by the permuted stage-1 weights (_jsplit_row_perm)
+                # by the permuted stage-1 weights (_jsplit_row_perm).
+                # Block rows are static row slices of the raw (r*bh, nbx)
+                # subplane slab
                 x = jnp.concatenate(
                     [
                         jnp.concatenate(
@@ -154,7 +163,9 @@ def _make_pair_kernel(
                                 jnp.concatenate(
                                     [
                                         plane_refs[c * bw_split + j][
-                                            0, 0, 0, 2 * u + v
+                                            0, 0, 0,
+                                            (2 * u + v) * bh
+                                            : (2 * u + v + 1) * bh,
                                         ]
                                         for j in range(bw_split)
                                     ],
@@ -344,23 +355,26 @@ def dct2_jsplit_to_wire_pallas(
     r = _rows_per_step(nby)
     assert r % 2 == 0, "j-split kernel requires an even rows-per-step"
 
-    p6 = planes.reshape(c, block_w, tf, nby, block_h, nbx)
-
     t1p, w2 = _pair_stage_weights(block_w, block_h)
     perm = _jsplit_row_perm(block_w, block_h)
     perm2 = np.concatenate([perm, perm + n])
     m1_terms = tuple(m[perm2] for m in t1p)
-    kernel = _make_pair_kernel(c, r // 2, n, nbx, bw_split=block_w)
+    kernel = _make_pair_kernel(
+        c, r // 2, n, nbx, bw_split=block_w, rows_per_block=block_h
+    )
     msz = 2 * n
     mspec = pl.BlockSpec(
         (msz, msz), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
     )
+    # blocks are (r*bh)-row slabs of the RAW subplanes — no 6-D reshape:
+    # at 4K, XLA materialized that reshape (fused with the row pad) as a
+    # 10.6 ms/batch copy of the lane-padded de-interleave output
     pspecs = [
         pl.BlockSpec(
-            (1, 1, 1, r, block_h, nbx),
+            (1, 1, 1, r * block_h, nbx),
             functools.partial(
                 lambda ci, ji, ti, yi: (
-                    ci, ji, ti + frame_offset, yi, 0, 0
+                    ci, ji, ti + frame_offset, yi, 0
                 ),
                 ci, ji,
             ),
@@ -382,7 +396,7 @@ def dct2_jsplit_to_wire_pallas(
     )(
         *[jnp.asarray(m) for m in m1_terms],
         jnp.asarray(w2),
-        *([p6] * (c * block_w)),
+        *([planes] * (c * block_w)),
     )
 
 

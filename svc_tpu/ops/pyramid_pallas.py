@@ -282,9 +282,199 @@ def pyr_down_mxu_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
 def pallas_pyr_mxu_supported(h: int, w: int) -> bool:
     """The VPU-kernel gate plus a VMEM bound on the filter matrix (the
     full (w, w//2) bf16 matrix lives in VMEM: 4K's first reduction at
-    w=3840 needs 14.7 MB and falls back to the VPU kernel)."""
+    w=3840 needs 14.7 MB and uses the column-tiled variant below)."""
     return (
         pallas_pyr_supported(h, w)
         and w % 2 == 0
         and w * (w // 2) * 2 <= 8 * 1024 * 1024
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-tiled (banded) MXU variant: frames too wide for the full filter
+# matrix (4K level 0, w = 3840: 14.7 MB) tile the OUTPUT columns instead.
+# Each (row tile, col tile) program reads a 2ct-wide slab of the raw plane
+# plus a 4-column boundary sliver and multiplies by ONE shared interior
+# band matrix (2ct+4, ct) — the reflect-101 column border is baked into
+# the boundary sliver on the XLA side (20 single-column slices per frame,
+# microscopic), so every tile shares the same weights. Replaces the VPU
+# path's reflect pad + stride-2 column gathers, which scalarized into
+# ~18 ms/batch of copies at 4K.
+# ---------------------------------------------------------------------------
+
+
+def _band_matrix(ct: int):
+    """(2ct+4, ct) interior horizontal pyrDown band: out col j (of the
+    tile) reads assembled cols [2j, 2j+5) with taps [1,4,6,4,1]."""
+    import numpy as np
+
+    m = np.zeros((2 * ct + 4, ct), np.float32)
+    taps = (1.0, 4.0, 6.0, 4.0, 1.0)
+    for j in range(ct):
+        for d in range(5):
+            m[2 * j + d, j] = taps[d]
+    return m
+
+
+def _col_tile(out_w: int) -> int:
+    """Largest 128-multiple divisor of ``out_w`` up to 512 (0 if none)."""
+    for ct in (512, 384, 256, 128):
+        if out_w % ct == 0:
+            return ct
+    return 0
+
+
+def _boundary_cols(imgs, ct: int, nct: int):
+    """(T, nct, H, 4) uint8: per col tile, the two columns left of it and
+    the two right of it, reflect-101 at the frame borders (the col-tile
+    axis leads so the kernel's blocks keep (rows, 4) as the tiled pair)."""
+    t, h, w = imgs.shape
+    cols = []
+    for ci in range(nct):
+        lo = 2 * ci * ct - 2
+        hi = 2 * (ci + 1) * ct
+        for c in (lo, lo + 1, hi, hi + 1):
+            cc = -c if c < 0 else (2 * w - 2 - c if c >= w else c)
+            cols.append(imgs[:, :, cc : cc + 1])
+    stacked = jnp.concatenate(cols, axis=2).reshape(t, h, nct, 4)
+    return jnp.swapaxes(stacked, 1, 2)  # (T, nct, H, 4)
+
+
+def _pyr_mxu_banded_kernel(
+    xp_ref, x_ref, xn_ref, bp_ref, b_ref, bn_ref, m_ref, out_ref,
+    *, n_tiles,
+):
+    # x: (1, 2*RT, 2ct) main slab; xp/xn: 8-row blocks above/below
+    # (clamped at frame edges, where reflect-101 rows come from the main
+    # block); b*: matching (rows, 1, 4) boundary slivers; m: (2ct+4, ct)
+    _, rows, w2 = x_ref.shape
+    ct = m_ref.shape[1]
+    out_h = rows // 2
+    hp = rows + 4
+
+    i = pl.program_id(1)
+
+    def asm(main, prev, nxt):
+        # reflect-101 rows at the frame edges, copied rows elsewhere —
+        # applied identically to the main slab and the boundary sliver
+        above = [
+            jnp.where(i == 0, main[2:3], prev[6:7]),
+            jnp.where(i == 0, main[1:2], prev[7:8]),
+        ]
+        last = n_tiles - 1
+        below = [
+            jnp.where(i == last, main[rows - 2 : rows - 1], nxt[0:1]),
+            jnp.where(i == last, main[rows - 3 : rows - 2], nxt[1:2]),
+        ]
+        return jnp.concatenate(above + [main] + below, axis=0)
+
+    xm = asm(x_ref[0], xp_ref[0], xn_ref[0])
+    bm = asm(b_ref[0, 0], bp_ref[0, 0], bn_ref[0, 0])  # (hp, 4)
+    x = jnp.concatenate(
+        [bm[:, 0:2], xm, bm[:, 2:4]], axis=1
+    )  # (hp, 2ct+4)
+    xb = x.astype(jnp.int32).astype(jnp.bfloat16)
+    hf = jax.lax.dot_general(
+        xb,
+        m_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (hp, ct) exact ints <= 4080
+
+    half = hp // 2
+    pairs = hf.reshape(half, 2, ct)
+    ev = pairs[:, 0, :]
+    ov = pairs[:, 1, :]
+    evc = ev[1 : out_h + 1]
+    evc2 = evc + evc
+    ovsum = ov[:out_h] + ov[1 : out_h + 1]
+    ovsum2 = ovsum + ovsum
+    v = (
+        ev[:out_h]
+        + (evc2 + evc2 + evc2)
+        + ev[2 : out_h + 2]
+        + (ovsum2 + ovsum2)
+    )
+    out_ref[0] = ((v + 128) >> 8).astype(jnp.uint8)
+
+
+@jax.jit
+def pyr_down_mxu_banded_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
+    """One pyramid reduction of wide ``(T, H, W)`` uint8 planes via the
+    MXU with column-tiled band matrices."""
+    import functools as _ft
+
+    import numpy as np
+
+    t, h, w = imgs.shape
+    out_h, out_w = h // 2, w // 2
+    rt = _row_tile(out_h)
+    ct = _col_tile(out_w)
+    n_tiles = out_h // rt
+    nct = out_w // ct
+
+    m = jnp.asarray(_band_matrix(ct).astype(np.float32), jnp.bfloat16)
+    bnd = _boundary_cols(imgs, ct, nct)
+
+    nblk8 = h // 8
+    main_spec = pl.BlockSpec(
+        (1, 2 * rt, 2 * ct),
+        lambda ti, i, ci: (ti, i, ci),
+        memory_space=pltpu.VMEM,
+    )
+    prev_spec = pl.BlockSpec(
+        (1, 8, 2 * ct),
+        lambda ti, i, ci: (ti, jnp.maximum(rt * i // 4 - 1, 0), ci),
+        memory_space=pltpu.VMEM,
+    )
+    next_spec = pl.BlockSpec(
+        (1, 8, 2 * ct),
+        lambda ti, i, ci: (
+            ti, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), ci
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    bmain_spec = pl.BlockSpec(
+        (1, 1, 2 * rt, 4),
+        lambda ti, i, ci: (ti, ci, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bprev_spec = pl.BlockSpec(
+        (1, 1, 8, 4),
+        lambda ti, i, ci: (ti, ci, jnp.maximum(rt * i // 4 - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bnext_spec = pl.BlockSpec(
+        (1, 1, 8, 4),
+        lambda ti, i, ci: (
+            ti, ci, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), 0
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    m_spec = pl.BlockSpec(
+        (2 * ct + 4, ct), lambda ti, i, ci: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _ft.partial(_pyr_mxu_banded_kernel, n_tiles=n_tiles),
+        grid=(t, n_tiles, nct),
+        in_specs=[
+            prev_spec, main_spec, next_spec,
+            bprev_spec, bmain_spec, bnext_spec, m_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rt, ct), lambda ti, i, ci: (ti, i, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, out_h, out_w), jnp.uint8),
+        interpret=(jax.default_backend() == "cpu"),
+    )(imgs, imgs, imgs, bnd, bnd, bnd, m)
+
+
+def pallas_pyr_mxu_banded_supported(h: int, w: int) -> bool:
+    """Wide-frame gate: valid row AND column tilings."""
+    return (
+        pallas_pyr_supported(h, w)
+        and w % 2 == 0
+        and _col_tile(w // 2) > 0
     )
