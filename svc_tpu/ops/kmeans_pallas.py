@@ -344,134 +344,133 @@ def _make_lloyd_batched_kernel(
         # cen/cmp VMEM residency 1/attempts of the full tensors (the
         # single-program form exceeded the 16 MB scoped budget at the
         # 1080p batch size)
-        if True:
-            work_ref[...] = c0_ref[0]  # (F, 16, 128)
-            done_ref[...] = jnp.zeros_like(done_ref)
-            alldone_ref[0, 0] = jnp.float32(0.0)
+        work_ref[...] = c0_ref[0]  # (F, 16, 128)
+        done_ref[...] = jnp.zeros_like(done_ref)
+        alldone_ref[0, 0] = jnp.float32(0.0)
 
-            # fori_loop (unroll=1) keeps the traced graph ONE iteration
-            # deep: a static max_iter unroll of this F-wide body made
-            # Mosaic compile times pathological (>20 min at the 1080p
-            # batch). All loop state lives in the scratch refs.
-            def _iter_step(_, carry):
-                @pl.when(alldone_ref[0, 0] == 0.0)
-                def _iteration():
-                    cen = work_ref[...]
-                    sums = None
-                    for ch in range(nc):
-                        xs, mv, lab, pd2 = assign_chunk(cen, ch)
-                        onehot = (
-                            (rowCS == lab).astype(jnp.float32) * mv
-                        )  # (F, 16, cs)
-                        p = jax.lax.dot_general(
-                            onehot, xs,
-                            (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )  # (F, 16, 8)
-                        sums = p if sums is None else sums + p
-                        pd2_ref[:, :, ch * cs : (ch + 1) * cs] = pd2
-                    counts = sums[:, :, d : d + 1]  # (F, 16, 1)
-                    newc = sums / jnp.maximum(counts, 1.0)
-                    newc = jnp.pad(
-                        newc, ((0, 0), (0, 0), (0, 128 - newc.shape[2]))
-                    )
-                    newc = newc * dim_cols
+        # fori_loop (unroll=1) keeps the traced graph ONE iteration
+        # deep: a static max_iter unroll of this F-wide body made
+        # Mosaic compile times pathological (>20 min at the 1080p
+        # batch). All loop state lives in the scratch refs.
+        def _iter_step(_, carry):
+            @pl.when(alldone_ref[0, 0] == 0.0)
+            def _iteration():
+                cen = work_ref[...]
+                sums = None
+                for ch in range(nc):
+                    xs, mv, lab, pd2 = assign_chunk(cen, ch)
+                    onehot = (
+                        (rowCS == lab).astype(jnp.float32) * mv
+                    )  # (F, 16, cs)
+                    p = jax.lax.dot_general(
+                        onehot, xs,
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (F, 16, 8)
+                    sums = p if sums is None else sums + p
+                    pd2_ref[:, :, ch * cs : (ch + 1) * cs] = pd2
+                counts = sums[:, :, d : d + 1]  # (F, 16, 1)
+                newc = sums / jnp.maximum(counts, 1.0)
+                newc = jnp.pad(
+                    newc, ((0, 0), (0, 0), (0, 128 - newc.shape[2]))
+                )
+                newc = newc * dim_cols
 
-                    empty = (
-                        (counts == 0.0).astype(jnp.float32) * real_row
-                    )  # (F, 16, 1)
-                    cand_ref[...] = newc
+                empty = (
+                    (counts == 0.0).astype(jnp.float32) * real_row
+                )  # (F, 16, 1)
+                cand_ref[...] = newc
 
-                    @pl.when(jnp.sum(empty) > 0.0)
-                    def _repair():
-                        # farthest-point repairs for EVERY frame at once
-                        # (frames without empties discard theirs in the
-                        # final where); picks are per frame — the max and
-                        # the coordinate-extraction dot batch over F
-                        farv_ref[...] = jnp.zeros_like(farv_ref)
-                        d2left = jnp.where(
-                            m_ref[...] > 0, pd2_ref[...], -1.0
-                        )  # (F, 1, N)
-                        for m in range(k):
-                            mx = jnp.max(d2left, axis=2, keepdims=True)
-                            fi = jnp.min(
-                                jnp.where(d2left >= mx, lane3, n),
-                                axis=2, keepdims=True,
-                            )  # (F, 1, 1)
-                            oh = (lane3 == fi).astype(jnp.float32)
-                            # coordinate extraction in lane chunks: a
-                            # full-x_ref operand would put a second
-                            # (F, 8, N) value on the VMEM stack (OOM at
-                            # the 1080p batch size)
-                            coords = None
-                            for ch in range(nc):
-                                sl = slice(ch * cs, (ch + 1) * cs)
-                                p = jax.lax.dot_general(
-                                    oh[:, :, sl], x_ref[:, :, sl],
-                                    (((2,), (2,)), ((0,), (0,))),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                )  # (F, 1, 8)
-                                coords = (
-                                    p if coords is None else coords + p
-                                )
-                            farv_ref[:, m : m + 1, 0:8] = coords
-                            d2left = jnp.where(lane3 == fi, -1.0, d2left)
-                        farv = farv_ref[...] * dim_cols
-
-                        # empty_rank = cumsum(empty) - 1, batched
-                        # triangular dot (tril pre-tiled per frame)
-                        er = (
-                            jax.lax.dot_general(
-                                tril_ref[...], empty,
-                                (((2,), (1,)), ((0,), (0,))),
+                @pl.when(jnp.sum(empty) > 0.0)
+                def _repair():
+                    # farthest-point repairs for EVERY frame at once
+                    # (frames without empties discard theirs in the
+                    # final where); picks are per frame — the max and
+                    # the coordinate-extraction dot batch over F
+                    farv_ref[...] = jnp.zeros_like(farv_ref)
+                    d2left = jnp.where(
+                        m_ref[...] > 0, pd2_ref[...], -1.0
+                    )  # (F, 1, N)
+                    for m in range(k):
+                        mx = jnp.max(d2left, axis=2, keepdims=True)
+                        fi = jnp.min(
+                            jnp.where(d2left >= mx, lane3, n),
+                            axis=2, keepdims=True,
+                        )  # (F, 1, 1)
+                        oh = (lane3 == fi).astype(jnp.float32)
+                        # coordinate extraction in lane chunks: a
+                        # full-x_ref operand would put a second
+                        # (F, 8, N) value on the VMEM stack (OOM at
+                        # the 1080p batch size)
+                        coords = None
+                        for ch in range(nc):
+                            sl = slice(ch * cs, (ch + 1) * cs)
+                            p = jax.lax.dot_general(
+                                oh[:, :, sl], x_ref[:, :, sl],
+                                (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST,
+                            )  # (F, 1, 8)
+                            coords = (
+                                p if coords is None else coords + p
                             )
-                            - 1.0
-                        )  # (F, 16, 1)
-                        rep_sel = (er == iotaK.astype(jnp.float32)).astype(
-                            jnp.float32
-                        )  # (F, 16, 16)
-                        rep = jax.lax.dot_general(
-                            rep_sel, farv,
+                        farv_ref[:, m : m + 1, 0:8] = coords
+                        d2left = jnp.where(lane3 == fi, -1.0, d2left)
+                    farv = farv_ref[...] * dim_cols
+
+                    # empty_rank = cumsum(empty) - 1, batched
+                    # triangular dot (tril pre-tiled per frame)
+                    er = (
+                        jax.lax.dot_general(
+                            tril_ref[...], empty,
                             (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST,
-                        )  # (F, 16, 128)
-                        cand_ref[...] = jnp.where(empty > 0, rep, newc)
+                        )
+                        - 1.0
+                    )  # (F, 16, 1)
+                    rep_sel = (er == iotaK.astype(jnp.float32)).astype(
+                        jnp.float32
+                    )  # (F, 16, 16)
+                    rep = jax.lax.dot_general(
+                        rep_sel, farv,
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (F, 16, 128)
+                    cand_ref[...] = jnp.where(empty > 0, rep, newc)
 
-                    cand = cand_ref[...]
-                    shift2 = jnp.max(
-                        jnp.sum((cand - cen) ** 2, axis=2, keepdims=True)
-                        * real_row,
-                        axis=1, keepdims=True,
-                    )  # (F, 1, 1)
-                    prev = done_ref[:, :, 0:1]  # (F, 1, 1)
-                    # frozen frames keep their centers; the update that
-                    # sets done still applies (previous-done semantics,
-                    # same as the XLA loop and the per-frame kernel)
-                    work_ref[...] = jnp.where(prev > 0, cen, cand)
-                    newdone = jnp.maximum(
-                        prev, (shift2 <= eps2).astype(jnp.float32)
-                    )
-                    done_ref[:, :, 0:1] = newdone
-                    alldone_ref[0, 0] = jnp.min(newdone)
+                cand = cand_ref[...]
+                shift2 = jnp.max(
+                    jnp.sum((cand - cen) ** 2, axis=2, keepdims=True)
+                    * real_row,
+                    axis=1, keepdims=True,
+                )  # (F, 1, 1)
+                prev = done_ref[:, :, 0:1]  # (F, 1, 1)
+                # frozen frames keep their centers; the update that
+                # sets done still applies (previous-done semantics,
+                # same as the XLA loop and the per-frame kernel)
+                work_ref[...] = jnp.where(prev > 0, cen, cand)
+                newdone = jnp.maximum(
+                    prev, (shift2 <= eps2).astype(jnp.float32)
+                )
+                done_ref[:, :, 0:1] = newdone
+                alldone_ref[0, 0] = jnp.min(newdone)
 
-                return carry
+            return carry
 
-            jax.lax.fori_loop(0, max_iter, _iter_step, 0, unroll=1)
+        jax.lax.fori_loop(0, max_iter, _iter_step, 0, unroll=1)
 
-            cen = work_ref[...]
-            total = None
-            for ch in range(nc):
-                _, _, lab, pd2 = assign_chunk(cen, ch)
-                lab_ref[0, :, ch * cs : (ch + 1) * cs] = lab[:, 0, :]
-                t = jnp.sum(pd2, axis=2, keepdims=True)  # (F, 1, 1)
-                total = t if total is None else total + t
-            cen_ref[0] = cen
-            cmp_ref[0] = jnp.broadcast_to(total[:, 0, :], (f, 128))
+        cen = work_ref[...]
+        total = None
+        for ch in range(nc):
+            _, _, lab, pd2 = assign_chunk(cen, ch)
+            lab_ref[0, :, ch * cs : (ch + 1) * cs] = lab[:, 0, :]
+            t = jnp.sum(pd2, axis=2, keepdims=True)  # (F, 1, 1)
+            total = t if total is None else total + t
+        cen_ref[0] = cen
+        cmp_ref[0] = jnp.broadcast_to(total[:, 0, :], (f, 128))
 
     return kernel
 
