@@ -85,16 +85,19 @@ def interleave_rows(planes: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _jsplit_selector(channels: int, bw: int) -> np.ndarray:
-    """(C*bw, C*128, 128//bw) 0/1: packed lane group -> per-(channel,
-    column-phase) block lanes. Pixel ``x = b*bw + j`` of a 128-pixel group
+def _jsplit_selector(channels: int, bw: int, gpx: int = 128) -> np.ndarray:
+    """(C*bw, C*gpx, gpx//bw) 0/1: packed ``gpx``-pixel group -> per-
+    (channel, column-phase) block lanes. Pixel ``x = b*bw + j`` of a group
     (``b`` the block-in-group, ``j`` the column phase) reads packed byte
     ``(x_local)*C + c`` and lands on lane ``b`` of subplane ``(c, j)`` —
     the column-PITCHED plane layout the blockwise-DCT kernel consumes
     (ops/dct_pallas.py), emitted straight off the de-interleave
-    contraction with no transpose op anywhere."""
-    bpg = 128 // bw
-    sel = np.zeros((channels * bw, channels * 128, bpg), np.float32)
+    contraction with no transpose op anywhere. ``gpx = 960`` makes the
+    einsum's output minor axis 120 lanes (6.7% tile pad) instead of 16
+    (8x pad): the downstream merge into dense ``nbx`` lanes then repacks
+    ~1/8 the physical bytes."""
+    bpg = gpx // bw
+    sel = np.zeros((channels * bw, channels * gpx, bpg), np.float32)
     for c in range(channels):
         for j in range(bw):
             for b in range(bpg):
@@ -104,7 +107,7 @@ def _jsplit_selector(channels: int, bw: int) -> np.ndarray:
 
 def jsplit_supported(width: int, bw: int) -> bool:
     """True when the pitched de-interleave applies: lane-aligned width and
-    whole blocks per 128-column group."""
+    whole blocks per pixel group."""
     return width % 128 == 0 and 128 % bw == 0
 
 
@@ -123,13 +126,18 @@ def deinterleave_rows_jsplit(
     Requires ``jsplit_supported(W, bw)``.
     """
     w = packed.shape[-1] // channels
-    g = w // 128
-    bpg = 128 // bw
-    x = packed.reshape(packed.shape[:-1] + (g, channels * 128))
+    # 128-pixel groups: the selector matmul's useful density is 1/gpx per
+    # element, so wider groups inflate FLOPs quadratically (a 960-pixel
+    # variant measured 5.3 ms vs 0.9 for this einsum at 1080p even though
+    # its output minor axis was nearly dense)
+    gpx = 128
+    g = w // gpx
+    bpg = gpx // bw
+    x = packed.reshape(packed.shape[:-1] + (g, channels * gpx))
     out = jnp.einsum(
         "...gi,kio->k...go",
         x.astype(jnp.bfloat16),
-        jnp.asarray(_jsplit_selector(channels, bw), jnp.bfloat16),
+        jnp.asarray(_jsplit_selector(channels, bw, gpx), jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.uint8)  # (C*bw, ..., g, bpg)
     return out.reshape(

@@ -182,3 +182,17 @@ class TestInterleave:
         np.testing.assert_array_equal(np.asarray(got), ref)
         assert not interleave.jsplit_supported(352, 8)  # CIF width
         assert not interleave.jsplit_supported(1920, 7)
+
+    def test_jsplit_960_group_path(self):
+        """Widths divisible by 960 take the wide-group selector (dense
+        output lanes); results must equal the de-interleave + pitch."""
+        from svc_tpu.ops import interleave
+
+        rng = np.random.default_rng(6)
+        t, h, w, c, bw = 1, 3, 960, 3, 8
+        frames = rng.integers(0, 256, (t, h, w, c), np.uint8)
+        packed = jnp.asarray(frames.reshape(t, h, w * c))
+        got = interleave.deinterleave_rows_jsplit(packed, c, bw)
+        planes = np.transpose(frames, (3, 0, 1, 2))
+        ref = planes.reshape(c, t, h, w // bw, bw).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_array_equal(np.asarray(got), ref)
