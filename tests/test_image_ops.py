@@ -183,13 +183,14 @@ class TestInterleave:
         assert not interleave.jsplit_supported(352, 8)  # CIF width
         assert not interleave.jsplit_supported(1920, 7)
 
-    def test_jsplit_960_group_path(self):
-        """Widths divisible by 960 take the wide-group selector (dense
-        output lanes); results must equal the de-interleave + pitch."""
+    def test_jsplit_production_width(self):
+        """The production 1080p width runs the same selector path; results
+        must equal the de-interleave + pitch."""
         from svc_tpu.ops import interleave
 
         rng = np.random.default_rng(6)
-        t, h, w, c, bw = 1, 3, 960, 3, 8
+        t, h, w, c, bw = 1, 2, 1920, 3, 8
+        assert interleave.jsplit_supported(w, bw)
         frames = rng.integers(0, 256, (t, h, w, c), np.uint8)
         packed = jnp.asarray(frames.reshape(t, h, w * c))
         got = interleave.deinterleave_rows_jsplit(packed, c, bw)
