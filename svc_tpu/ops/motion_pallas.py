@@ -683,6 +683,7 @@ def _make_stack_refine_kernel(
     two_stage: bool,
     mfw: int,
     compact: bool,
+    rpp: int = 1,
 ):
     """Kernel factory for :func:`refine_mads_stack_pallas`.
 
@@ -696,6 +697,11 @@ def _make_stack_refine_kernel(
     it for the big base level whose cell tensor is ~100 MB/batch, a net
     loss for the small levels where the per-program widening pass costs
     more than their tiny cell tensors; those keep the HBM cell layout.
+
+    ``rpp`` block rows run per program (grid shrinks by rpp): the
+    widening, tile DMAs, and program-fixed overheads amortize across the
+    sub-rows, which otherwise cost ~0.25 us of each base-level program's
+    ~2.7 us.
     """
     side = 2 * r + 1
     wh, ww = bh + 2 * r, bw + 2 * r
@@ -707,14 +713,13 @@ def _make_stack_refine_kernel(
 
     def kernel(*refs):
         views = refs[:n_tiles]
-        a_ref, m_ref, o_ref = refs[n_tiles : n_tiles + 3]
+        a_refs = refs[n_tiles : n_tiles + rpp]
+        m_ref, o_ref = refs[n_tiles + rpp : n_tiles + rpp + 2]
         if compact:
-            cells_scr = refs[n_tiles + 3]
-            scratches = refs[n_tiles + 4 :]
+            cells_scr = refs[n_tiles + rpp + 2]
+            scratches = refs[n_tiles + rpp + 3 :]
         else:
-            scratches = refs[n_tiles + 3 :]
-        mvy = m_ref[0, 0, 0:1, :, :]  # (1, 1, mfw) int32
-        mvx = m_ref[0, 0, 1:2, :, :]
+            scratches = refs[n_tiles + rpp + 2 :]
 
         if compact:
             # widen the compact views into cell layout ONCE per program:
@@ -749,78 +754,96 @@ def _make_stack_refine_kernel(
                     return pieces[0]
                 return jnp.concatenate(pieces, axis=0)
 
-        if two_stage:
-            rc_scr, rf_scr, cc_scr = scratches
+        for s_row in range(rpp):
+            base = row_pad + s_row * bh
+            mvy = m_ref[0, s_row, 0:1, :, :]  # (1, 1, mfw) int32
+            mvx = m_ref[0, s_row, 1:2, :, :]
+            a_ref = a_refs[s_row]
 
-            def coarse_of(mv):
-                mag = (jnp.abs(mv) + 3) // 6 * 6
-                return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
+            if two_stage:
+                rc_scr, rf_scr, cc_scr = scratches
 
-            ay, ax = coarse_of(mvy), coarse_of(mvx)
-            fy, fx = mvy - ay, mvx - ax  # in {-2, 0, 2}
+                def coarse_of(mv):
+                    mag = (jnp.abs(mv) + 3) // 6 * 6
+                    return jnp.clip(jnp.sign(mv) * mag, -amax, amax)
 
-            inter = None
-            for a in coarse:
-                sl = rows(row_pad + a - 2 - r, wh + 4)
-                inter = (
-                    sl if inter is None else jnp.where(ay == a, sl, inter)
+                ay, ax = coarse_of(mvy), coarse_of(mvx)
+                fy, fx = mvy - ay, mvx - ax  # in {-2, 0, 2}
+
+                inter = None
+                for a in coarse:
+                    sl = rows(base + a - 2 - r, wh + 4)
+                    inter = (
+                        sl
+                        if inter is None
+                        else jnp.where(ay == a, sl, inter)
+                    )
+                rc_scr[...] = inter
+
+                rc = rc_scr[...]
+                winf = None
+                for f in fine:
+                    sl = rc[2 + f : 2 + f + wh, :, :]
+                    winf = (
+                        sl if winf is None else jnp.where(fy == f, sl, winf)
+                    )
+                rf_scr[...] = winf
+
+                rf = rf_scr[...]
+                cinter = None
+                for a in coarse:
+                    sl = rf[
+                        :, col_pad + a - 2 - r : col_pad + a - 2 - r + ww + 4
+                    ]
+                    cinter = (
+                        sl
+                        if cinter is None
+                        else jnp.where(ax == a, sl, cinter)
+                    )
+                cc_scr[...] = cinter
+
+                cc = cc_scr[...]
+                out = None
+                for f in fine:
+                    sl = cc[:, 2 + f : 2 + f + ww, :]
+                    out = sl if out is None else jnp.where(fx == f, sl, out)
+            else:
+                (win_scr,) = scratches
+                win = None
+                for s in shifts:
+                    sl = rows(base + s - r, wh)
+                    win = sl if win is None else jnp.where(mvy == s, sl, win)
+                win_scr[...] = win
+
+                wr = win_scr[...]
+                out = None
+                for s in shifts:
+                    sl = wr[:, col_pad + s - r : col_pad + s - r + ww, :]
+                    out = sl if out is None else jnp.where(mvx == s, sl, out)
+
+            # anchor block: in the compact view, motion-field column j is
+            # padded block column j + halo_b — a contiguous lane slice; in
+            # cell layout, a full-cell-width window whose own columns sit
+            # at [col_pad, col_pad + bw)
+            if compact:
+                a_blk = a_ref[0, :, :, halo_b : halo_b + mfw].astype(
+                    jnp.int32
                 )
-            rc_scr[...] = inter
-
-            rc = rc_scr[...]
-            winf = None
-            for f in fine:
-                sl = rc[2 + f : 2 + f + wh, :, :]
-                winf = sl if winf is None else jnp.where(fy == f, sl, winf)
-            rf_scr[...] = winf
-
-            rf = rf_scr[...]
-            cinter = None
-            for a in coarse:
-                sl = rf[:, col_pad + a - 2 - r : col_pad + a - 2 - r + ww + 4]
-                cinter = (
-                    sl if cinter is None else jnp.where(ax == a, sl, cinter)
+            else:
+                a_blk = a_ref[0, :, col_pad : col_pad + bw, :].astype(
+                    jnp.int32
                 )
-            cc_scr[...] = cinter
-
-            cc = cc_scr[...]
-            out = None
-            for f in fine:
-                sl = cc[:, 2 + f : 2 + f + ww, :]
-                out = sl if out is None else jnp.where(fx == f, sl, out)
-        else:
-            (win_scr,) = scratches
-            win = None
-            for s in shifts:
-                sl = rows(row_pad + s - r, wh)
-                win = sl if win is None else jnp.where(mvy == s, sl, win)
-            win_scr[...] = win
-
-            wr = win_scr[...]
-            out = None
-            for s in shifts:
-                sl = wr[:, col_pad + s - r : col_pad + s - r + ww, :]
-                out = sl if out is None else jnp.where(mvx == s, sl, out)
-
-        # anchor block: in the compact view, motion-field column j is
-        # padded block column j + halo_b — a contiguous lane slice; in
-        # cell layout, a full-cell-width window whose own columns sit at
-        # [col_pad, col_pad + bw)
-        if compact:
-            a_blk = a_ref[0, :, :, halo_b : halo_b + mfw].astype(jnp.int32)
-        else:
-            a_blk = a_ref[0, :, col_pad : col_pad + bw, :].astype(jnp.int32)
-        # unpack the selected window to int32 ONCE; per-candidate slices
-        # then skip (2r+1)^2 - 1 full-block convert passes per program
-        out32 = out.astype(jnp.int32)
-        o_ref[...] = jnp.zeros_like(o_ref)
-        i = 0
-        for oy in range(side):
-            for ox in range(side):
-                cand = out32[oy : oy + bh, ox : ox + bw, :]
-                sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
-                o_ref[0, 0, i : i + 1, :] = sad[None, :]
-                i += 1
+            # unpack the selected window to int32 ONCE; per-candidate
+            # slices then skip (2r+1)^2 - 1 full-block convert passes
+            out32 = out.astype(jnp.int32)
+            o_ref[0, s_row] = jnp.zeros_like(o_ref[0, s_row])
+            i = 0
+            for oy in range(side):
+                for ox in range(side):
+                    cand = out32[oy : oy + bh, ox : ox + bw, :]
+                    sad = jnp.sum(jnp.abs(cand - a_blk), axis=(0, 1))
+                    o_ref[0, s_row, i : i + 1, :] = sad[None, :]
+                    i += 1
 
     return kernel
 
@@ -861,7 +884,8 @@ def refine_mads_stack_pallas(
     halo_b = -(-pad // bw)
     row_pad = rowpad_b * bh
     col_pad = halo_b * bw
-    n_tiles = 2 * rowpad_b + 1
+    rpp = 2 if mfh % 2 == 0 else 1  # block rows per program
+    n_tiles = 2 * rowpad_b + rpp
     lanes = mfw + 2 * halo_b
     cw_cells = (2 * halo_b + 1) * bw
 
@@ -890,7 +914,7 @@ def refine_mads_stack_pallas(
     two_stage = _two_stage_ok(bound_in)
     kernel = _make_stack_refine_kernel(
         r, bound_in, bh, bw, row_pad, col_pad, n_tiles, two_stage, mfw,
-        compact,
+        compact, rpp,
     )
     wh_, ww_ = bh + 2 * r, bw + 2 * r
     if two_stage:
@@ -910,27 +934,34 @@ def refine_mads_stack_pallas(
     tile_specs = [
         pl.BlockSpec(
             vshape,
-            functools.partial(lambda d, ti, i: (ti, i + d, 0, 0), d),
+            functools.partial(
+                lambda d, ti, i: (ti, i * rpp + d, 0, 0), d
+            ),
             memory_space=pltpu.VMEM,
         )
         for d in range(n_tiles)
     ]
-    anchor_spec = pl.BlockSpec(
-        vshape,
-        lambda ti, i: (ti + 1, i + rowpad_b, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    anchor_specs = [
+        pl.BlockSpec(
+            vshape,
+            functools.partial(
+                lambda s, ti, i: (ti + 1, i * rpp + s + rowpad_b, 0, 0), s
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for s in range(rpp)
+    ]
     mv_spec = pl.BlockSpec(
-        (1, 1, 2, 1, mfw),
+        (1, rpp, 2, 1, mfw),
         lambda ti, i: (ti, i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         kernel,
-        grid=(t, mfh),
-        in_specs=tile_specs + [anchor_spec, mv_spec],
+        grid=(t, mfh // rpp),
+        in_specs=tile_specs + anchor_specs + [mv_spec],
         out_specs=pl.BlockSpec(
-            (1, 1, rows_out, mfw),
+            (1, rpp, rows_out, mfw),
             lambda ti, i: (ti, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -938,7 +969,7 @@ def refine_mads_stack_pallas(
         scratch_shapes=scratches,
         interpret=(jax.default_backend() == "cpu"),
     )(
-        *([q if compact else cells] * (n_tiles + 1)),
+        *([q if compact else cells] * (n_tiles + rpp)),
         mv_yx.reshape(t, mfh, 2, 1, mfw),
     )
 
