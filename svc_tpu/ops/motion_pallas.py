@@ -981,7 +981,7 @@ def stack_refine_supported(
     pad = bound_in + r
     rowpad_b = -(-pad // block_h)
     halo_b = -(-pad // block_w)
-    n_tiles = 2 * rowpad_b + 1
+    n_tiles = 2 * rowpad_b + 2  # up to two block rows per program
     cells_bytes = n_tiles * block_h * (2 * halo_b + 1) * block_w * mfw
     return (
         mfw >= 8
