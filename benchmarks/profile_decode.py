@@ -29,7 +29,9 @@ def main():
     from svc_tpu.models.decoder import Decoder
     from svc_tpu.models.encoder import Encoder
 
-    t, h, w = 16, 1080, 1920
+    import os
+    geom = os.environ.get("SVC_PROFILE_GEOM", "16,1080,1920")
+    t, h, w = (int(v) for v in geom.split(","))
     cfg = EncoderConfig()
     enc = Encoder(cfg, VideoProperties(w, h, t + 1), batch_size=t)
     dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)

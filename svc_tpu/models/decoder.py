@@ -234,12 +234,6 @@ class Decoder:
                 return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
             if pallas_wire_idct_supported(channels, nby, nbx, tbh, tbw):
-                # fused dequant + wire IDCT straight into pitched planes
-                # (ONE batched kernel; the XLA path below pays mostly-zero
-                # (C*n, C*n) stage dots plus a full pitch transpose)
-                pitched = idct_wire_to_pitched_pallas(
-                    coeffs, steps, channels, tbh, tbw
-                )  # (T, C, PH, bw, nbx)
                 cols = np.arange(nbx * tbw, dtype=np.int32)
                 col_map = np.stack([cols % tbw, cols // tbw])
                 from svc_tpu.ops.resize import (
@@ -250,7 +244,28 @@ class Decoder:
                 x0, _, _, x_ident = bilinear_axis_weights(
                     h.frame_w, nbx * tbw
                 )
-                if x_ident:
+                if x_ident and h.frame_h == ph:
+                    # both display axes are identities (zero frame
+                    # excess — e.g. 4K): the display round/clip fuses
+                    # into the IDCT kernel itself (u8 output, quarter
+                    # the write traffic) and the "resize" disappears —
+                    # only the un-pitch gather remains
+                    rows_u8 = idct_wire_to_pitched_pallas(
+                        coeffs, steps, channels, tbh, tbw, emit_u8=True
+                    )  # (T, C, PH, bw, nbx) uint8
+                    planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
+                    pitched = None
+                else:
+                    # fused dequant + wire IDCT straight into pitched
+                    # planes (ONE batched kernel; the XLA path below pays
+                    # mostly-zero (C*n, C*n) stage dots plus a full pitch
+                    # transpose)
+                    pitched = idct_wire_to_pitched_pallas(
+                        coeffs, steps, channels, tbh, tbw
+                    )  # (T, C, PH, bw, nbx)
+                if pitched is None:
+                    pass
+                elif x_ident:
                     # width-aligned geometry (frame_w == padded width —
                     # every mv-block-divisible width, incl. CIF/1080p/
                     # 4K): the column step is a pure un-pitch gather, so

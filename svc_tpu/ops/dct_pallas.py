@@ -451,7 +451,13 @@ def _inv_pair_stage_weights(block_w: int, block_h: int):
 
 
 def _make_wire_idct_kernel(
-    channels: int, pairs_per_step: int, n: int, nbx: int, bh: int, bw: int
+    channels: int,
+    pairs_per_step: int,
+    n: int,
+    nbx: int,
+    bh: int,
+    bw: int,
+    emit_u8: bool = False,
 ):
     def kernel(u1_ref, u2_ref, ident_ref, c_ref, s_ref, o_ref):
         u1 = u1_ref[...]
@@ -493,9 +499,18 @@ def _make_wire_idct_kernel(
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (2n, nbx)
                 for v in (0, 1):
-                    o_ref[0, ch, 2 * u + v] = xt[
-                        v * n : (v + 1) * n
-                    ].reshape(bh, bw, nbx)
+                    val = xt[v * n : (v + 1) * n].reshape(bh, bw, nbx)
+                    if emit_u8:
+                        # display round/clip fused in (valid only when
+                        # the downstream resize is a pure identity /
+                        # gather — rounding commutes with gathering);
+                        # f32 -> u8 hops through int32 on this Mosaic
+                        val = (
+                            jnp.clip(jnp.round(val), 0.0, 255.0)
+                            .astype(jnp.int32)
+                            .astype(jnp.uint8)
+                        )
+                    o_ref[0, ch, 2 * u + v] = val
 
     return kernel
 
@@ -506,6 +521,7 @@ def idct_wire_to_pitched_pallas(
     channels: int,
     block_h: int,
     block_w: int,
+    emit_u8: bool = False,
 ) -> jnp.ndarray:
     """Fused dequantize + inverse blockwise DCT into column-pitched planes.
 
@@ -537,7 +553,10 @@ def idct_wire_to_pitched_pallas(
         steps.astype(jnp.float32).reshape(t, nby // r, r, nbx),
         ((0, 0), (0, 0), (0, rp - r), (0, 0)),
     )
-    kernel = _make_wire_idct_kernel(channels, r // 2, n, nbx, block_h, block_w)
+    kernel = _make_wire_idct_kernel(
+        channels, r // 2, n, nbx, block_h, block_w, emit_u8=emit_u8
+    )
+    out_dtype = jnp.uint8 if emit_u8 else jnp.float32
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
     mspec = pl.BlockSpec(
         (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
@@ -567,7 +586,7 @@ def idct_wire_to_pitched_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (t, channels, nby, block_h, block_w, nbx), jnp.float32
+            (t, channels, nby, block_h, block_w, nbx), out_dtype
         ),
         interpret=(jax.default_backend() == "cpu"),
     )(

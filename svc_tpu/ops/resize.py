@@ -68,6 +68,11 @@ def resize_rows_pitched(
         return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
 
     if y_ident:
+        if out_h == h:
+            # true identity: indexing with an iota array would lower to
+            # a full gather op (measured 3.9 ms/batch at 4K, where the
+            # padded height equals the display height)
+            return finish(img)
         return finish(img[..., y0, :, :])
     from svc_tpu.ops.resize_pallas import (
         resize_rows_pallas,
