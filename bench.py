@@ -141,9 +141,14 @@ def main():
     fps, enc, fdev, keys, out = _encode_fps(1080, 1920, t1080, iters=10)
     print(f"1080p encode: {fps:.1f} fps (on-chip)", file=sys.stderr)
 
-    # tunnel-inclusive number for visibility (dev-env artifact: ~0.2 GB/s)
+    # tunnel-inclusive number for visibility (dev-env artifact: ~0.2 GB/s).
+    # The host copy must re-stage through the encoder's pinned layout — a
+    # bare device_put lands in the default layout and feeding that to the
+    # pinned jit poisons the tunnel session (every later dispatch fails
+    # INVALID_ARGUMENT)
+    host_frames = np.asarray(fdev)
     t0 = time.perf_counter()
-    _sync(enc._encode_batch(jax.device_put(np.asarray(fdev)), keys))
+    _sync(enc._encode_batch(enc.stage_frames(host_frames), keys))
     print(
         f"  incl. tunnel H2D: {t1080 / (time.perf_counter() - t0):.1f} fps",
         file=sys.stderr,
