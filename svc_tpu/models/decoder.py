@@ -102,6 +102,7 @@ class Decoder:
             self._coeff_format = (pins.get("in_shardings") or (None,))[0]
             if self._coeff_format is not None:
                 fmt = self._coeff_format
+                pinned_order = fmt.layout.major_to_minor
 
                 def decode_pinned(coeffs, btypes, rects):
                     # HOST arrays go straight to the jit: the H2D
@@ -109,10 +110,18 @@ class Decoder:
                     # An already-device-resident operand in a different
                     # layout (tests/benches pre-staging with a bare
                     # device_put) is relaid out here instead of erroring
-                    # at the jit boundary — pre-stage with
-                    # ``stage_coeffs`` to avoid that copy.
+                    # at the jit boundary. The dim-order check matters:
+                    # a Format with unspecified tiling never compares
+                    # equal to a concrete on-device layout, so a blind
+                    # device_put re-copied the full coefficient batch on
+                    # EVERY call (measured 2.4 ms at 1080p, 4.8 at 4K).
                     if isinstance(coeffs, jax.Array):
-                        coeffs = jax.device_put(coeffs, fmt)
+                        try:
+                            order = coeffs.format.layout.major_to_minor
+                        except Exception:
+                            order = None
+                        if order != pinned_order:
+                            coeffs = jax.device_put(coeffs, fmt)
                     return jitted(coeffs, btypes, rects)
 
                 self._decode_batch = decode_pinned
