@@ -102,28 +102,28 @@ class Decoder:
             self._coeff_format = (pins.get("in_shardings") or (None,))[0]
             if self._coeff_format is not None:
                 fmt = self._coeff_format
-                pinned_order = fmt.layout.major_to_minor
 
                 def decode_pinned(coeffs, btypes, rects):
                     # HOST arrays go straight to the jit: the H2D
                     # transfer writes the pinned layout directly (free).
-                    # An already-device-resident operand in a different
-                    # layout (tests/benches pre-staging with a bare
-                    # device_put) is relaid out here instead of erroring
-                    # at the jit boundary. The dim-order check matters:
-                    # a Format with unspecified tiling never compares
-                    # equal to a concrete on-device layout, so a blind
-                    # device_put re-copied the full coefficient batch on
-                    # EVERY call (measured 2.4 ms at 1080p, 4.8 at 4K).
+                    # Device-resident operands are normalized into the
+                    # CANONICAL staged format (learned from the first
+                    # normalization / stage_coeffs): the pin's Format has
+                    # unspecified tiling, so it neither compares equal to
+                    # a concrete layout (a blind per-call device_put
+                    # re-copied the batch every call, 2.4 ms at 1080p)
+                    # nor catches a wrong-tiling array (which jit dispatch
+                    # passes through and the TPU runtime then rejects,
+                    # poisoning the session).
                     if isinstance(coeffs, jax.Array):
-                        try:
-                            order = coeffs.format.layout.major_to_minor
-                        except Exception:
-                            order = None
-                        if order != pinned_order:
-                            coeffs = jax.device_put(coeffs, fmt)
+                        canon = self._staged_format
+                        cur = getattr(coeffs, "format", None)
+                        if canon is None or cur != canon:
+                            coeffs = jax.device_put(coeffs, canon or fmt)
+                            self._staged_format = coeffs.format
                     return jitted(coeffs, btypes, rects)
 
+                self._staged_format = None
                 self._decode_batch = decode_pinned
             else:
                 self._decode_batch = jitted
@@ -167,7 +167,15 @@ class Decoder:
         fmt = getattr(self, "_coeff_format", None)
         if fmt is None:
             return jnp.asarray(coeffs)
-        return jax.device_put(coeffs, fmt)
+        staged = jax.device_put(coeffs, fmt)
+        # record the canonical concrete format so the decode wrapper can
+        # recognize already-staged arrays without a per-call device_put
+        if getattr(self, "_staged_format", None) is None:
+            try:
+                self._staged_format = staged.format
+            except Exception:
+                pass
+        return staged
 
     def _layout_pins(self):
         """Pin the jitted step's boundary layouts to row-major.
