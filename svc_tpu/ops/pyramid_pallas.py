@@ -317,7 +317,9 @@ def _band_matrix(ct: int):
 
 
 def _col_tile(out_w: int) -> int:
-    """Largest 128-multiple divisor of ``out_w`` up to 512 (0 if none)."""
+    """Largest 128-multiple divisor of ``out_w`` up to 512 (0 if none —
+    both the output block and the 2x input slab must stay 128-lane
+    aligned, so only 128-multiples are legal)."""
     for ct in (512, 384, 256, 128):
         if out_w % ct == 0:
             return ct
