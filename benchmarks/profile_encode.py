@@ -78,7 +78,7 @@ def main():
         # reuse the Encoder's already-compiled jit (a fresh jax.jit here
         # would retrace and recompile the whole encode program)
         txt = (
-            enc._encode_batch
+            getattr(enc, "_encode_jit", enc._encode_batch)
             .lower(jax.ShapeDtypeStruct(packed.shape, np.uint8), keys)
             .compile()
             .as_text()

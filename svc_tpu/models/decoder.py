@@ -40,6 +40,7 @@ from svc_tpu.ops.dct_pallas import (
 )
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
+from svc_tpu.runtime.layouts import PinnedInput, row_major_format
 from svc_tpu.utils.mathx import round_half_away_from_zero
 
 
@@ -99,31 +100,18 @@ class Decoder:
             pins = self._layout_pins()
             jitted = jax.jit(fn, **pins)
             self._decode_jit = jitted  # profilers lower()/compile() this
-            self._coeff_format = (pins.get("in_shardings") or (None,))[0]
-            if self._coeff_format is not None:
-                fmt = self._coeff_format
+            # canonical staging/normalization of the pinned coefficient
+            # parameter (rationale + hazards: runtime/layouts.py)
+            self._coeff_pin = PinnedInput(
+                (pins.get("in_shardings") or (None,))[0]
+            )
+            if self._coeff_pin.fmt is not None:
 
                 def decode_pinned(coeffs, btypes, rects):
-                    # HOST arrays go straight to the jit: the H2D
-                    # transfer writes the pinned layout directly (free).
-                    # Device-resident operands are normalized into the
-                    # CANONICAL staged format (learned from the first
-                    # normalization / stage_coeffs): the pin's Format has
-                    # unspecified tiling, so it neither compares equal to
-                    # a concrete layout (a blind per-call device_put
-                    # re-copied the batch every call, 2.4 ms at 1080p)
-                    # nor catches a wrong-tiling array (which jit dispatch
-                    # passes through and the TPU runtime then rejects,
-                    # poisoning the session).
-                    if isinstance(coeffs, jax.Array):
-                        canon = self._staged_format
-                        cur = getattr(coeffs, "format", None)
-                        if canon is None or cur != canon:
-                            coeffs = jax.device_put(coeffs, canon or fmt)
-                            self._staged_format = coeffs.format
-                    return jitted(coeffs, btypes, rects)
+                    return jitted(
+                        self._coeff_pin.normalize(coeffs), btypes, rects
+                    )
 
-                self._staged_format = None
                 self._decode_batch = decode_pinned
             else:
                 self._decode_batch = jitted
@@ -164,18 +152,10 @@ class Decoder:
         inputs ahead of the timing loop should use this — a bare
         ``device_put`` picks XLA's default layout and forces a 2.2 ms
         on-device relayout per 1080p batch)."""
-        fmt = getattr(self, "_coeff_format", None)
-        if fmt is None:
+        pin = getattr(self, "_coeff_pin", None)
+        if pin is None:
             return jnp.asarray(coeffs)
-        staged = jax.device_put(coeffs, fmt)
-        # record the canonical concrete format so the decode wrapper can
-        # recognize already-staged arrays without a per-call device_put
-        if getattr(self, "_staged_format", None) is None:
-            try:
-                self._staged_format = staged.format
-            except Exception:
-                pass
-        return staged
+        return pin.stage(coeffs)
 
     def _layout_pins(self):
         """Pin the jitted step's boundary layouts to row-major.
@@ -186,24 +166,13 @@ class Decoder:
         full-tensor relayout copy at program start (measured 2.2 ms of the
         12 ms 1080p decode batch). The host ships row-major wire
         coefficients, so the pin deletes pure waste. Best-effort."""
-        try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            dev = jax.devices()[0]
-            sds = SingleDeviceSharding(dev)
-
-            def fmt(ndim):
-                return Format(
-                    Layout(major_to_minor=tuple(range(ndim))), sds
-                )
-
-            return {
-                "in_shardings": (fmt(4), None, None),
-                "out_shardings": fmt(3),
-            }
-        except Exception:
+        in_fmt = row_major_format(4)
+        if in_fmt is None:
             return {}
+        return {
+            "in_shardings": (in_fmt, None, None),
+            "out_shardings": row_major_format(3),
+        }
 
     def _build_decode_batch(self):
         cfg = self.cfg
@@ -261,41 +230,41 @@ class Decoder:
                 x0, _, _, x_ident = bilinear_axis_weights(
                     h.frame_w, nbx * tbw
                 )
+                # the fused dequant + wire-IDCT kernel emits pitched
+                # planes in ONE batched call (the XLA path below pays
+                # mostly-zero (C*n, C*n) stage dots plus a full pitch
+                # transpose); the display stage then takes one of three
+                # routes depending on which resize axes are identities
                 if x_ident and h.frame_h == ph:
-                    # both display axes are identities (zero frame
-                    # excess — e.g. 4K): the display round/clip fuses
-                    # into the IDCT kernel itself (u8 output, quarter
-                    # the write traffic) and the "resize" disappears —
-                    # only the un-pitch gather remains
+                    # both axes identities (zero frame excess — e.g.
+                    # 4K): the display round/clip fuses into the IDCT
+                    # kernel itself (u8 output, quarter the write
+                    # traffic) and the "resize" disappears — only the
+                    # un-pitch gather remains
                     rows_u8 = idct_wire_to_pitched_pallas(
                         coeffs, steps, channels, tbh, tbw, emit_u8=True
                     )  # (T, C, PH, bw, nbx) uint8
                     planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
-                    pitched = None
-                else:
-                    # fused dequant + wire IDCT straight into pitched
-                    # planes (ONE batched kernel; the XLA path below pays
-                    # mostly-zero (C*n, C*n) stage dots plus a full pitch
-                    # transpose)
-                    pitched = idct_wire_to_pitched_pallas(
-                        coeffs, steps, channels, tbh, tbw
-                    )  # (T, C, PH, bw, nbx)
-                if pitched is None:
-                    pass
                 elif x_ident:
                     # width-aligned geometry (frame_w == padded width —
-                    # every mv-block-divisible width, incl. CIF/1080p/
-                    # 4K): the column step is a pure un-pitch gather, so
-                    # the display round/clip commutes past it and fuses
-                    # into the row-resample kernel — uint8 from there on
+                    # every mv-block-divisible width, incl. CIF/1080p):
+                    # the column step is a pure un-pitch gather, so the
+                    # display round/clip commutes past it and fuses into
+                    # the row-resample kernel — uint8 from there on
                     # (quarters the resample+gather traffic). The whole
                     # batch goes down in one call: frames share the row
                     # map, so the kernel batches them per grid step
+                    pitched = idct_wire_to_pitched_pallas(
+                        coeffs, steps, channels, tbh, tbw
+                    )  # (T, C, PH, bw, nbx) float32
                     rows_u8 = resize_rows_pitched(
                         pitched, h.frame_h, emit_u8=True
                     )
                     planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
                 else:
+                    pitched = idct_wire_to_pitched_pallas(
+                        coeffs, steps, channels, tbh, tbw
+                    )
                     planes = jax.vmap(
                         lambda p: resize_frame(p, col_map)
                     )(pitched)

@@ -62,6 +62,7 @@ from svc_tpu.ops.motion import hbma_stack
 from svc_tpu.ops.pad import pad_frame, padded_dims
 from svc_tpu.ops.pyramid import build_pyramid
 from svc_tpu.ops.ransac import estimate_global_motion_ransac, iter_count
+from svc_tpu.runtime.layouts import PinnedInput, row_major_format
 
 
 class Encoder:
@@ -132,9 +133,24 @@ class Encoder:
         self.encode_pairs = self._build_encode_pairs()
         # the traceable batch step (public, for jit/sharding composition)
         self.encode_batch_fn = self._build_encode_batch()
-        self._encode_batch = jax.jit(
-            self.encode_batch_fn, **self._layout_pins()
+        pins = self._layout_pins()
+        jitted = jax.jit(self.encode_batch_fn, **pins)
+        self._encode_jit = jitted
+        # canonical staging/normalization of the pinned frame parameter
+        # (rationale + hazards: runtime/layouts.py — a device array in
+        # any other layout would otherwise reach the layout-specialized
+        # executable and fail at runtime, poisoning the session)
+        self._frames_pin = PinnedInput(
+            (pins.get("in_shardings") or (None,))[0]
         )
+        if self._frames_pin.fmt is not None:
+
+            def encode_pinned(packed, keys):
+                return jitted(self._frames_pin.normalize(packed), keys)
+
+            self._encode_batch = encode_pinned
+        else:
+            self._encode_batch = jitted
 
     def _layout_pins(self):
         """Pin the jitted step's boundary layouts to row-major.
@@ -148,36 +164,25 @@ class Encoder:
         so both pins delete pure waste. Best-effort: on backends or jax
         versions without concrete-layout support, fall back to defaults.
         """
-        try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            dev = jax.devices()[0]
-            sds = SingleDeviceSharding(dev)
-
-            def fmt(ndim):
-                return Format(
-                    Layout(major_to_minor=tuple(range(ndim))), sds
-                )
-
-            out_shardings = {
-                "coeffs": fmt(4),
-                "block_types": None,
-                "mv_field": None,
-                "foreground_mask_raw": None,
-                "foreground_mask": None,
-                "cluster_labels": None,
-                "global_motion": None,
-                "ransac_rmse": None,
-            }
-            if self.keep_planes:
-                out_shardings["padded_planes"] = None
-            return {
-                "in_shardings": (fmt(3), None),
-                "out_shardings": out_shardings,
-            }
-        except Exception:
+        in_fmt = row_major_format(3)
+        if in_fmt is None:
             return {}
+        out_shardings = {
+            "coeffs": row_major_format(4),
+            "block_types": None,
+            "mv_field": None,
+            "foreground_mask_raw": None,
+            "foreground_mask": None,
+            "cluster_labels": None,
+            "global_motion": None,
+            "ransac_rmse": None,
+        }
+        if self.keep_planes:
+            out_shardings["padded_planes"] = None
+        return {
+            "in_shardings": (in_fmt, None),
+            "out_shardings": out_shardings,
+        }
 
     # ------------------------------------------------------------------
     # jitted pipeline
@@ -424,10 +429,9 @@ class Encoder:
         timing loop should use this — a bare ``device_put`` can pick a
         different layout and force a full on-device relayout per batch,
         measured 1.3 ms at 4K)."""
-        fmt = (self._layout_pins().get("in_shardings") or (None,))[0]
-        if fmt is None:
+        if self._frames_pin.fmt is None:
             return jnp.asarray(packed)
-        return jax.device_put(packed, fmt)
+        return self._frames_pin.stage(packed)
 
     def _keys(self, start_index: int, count: int) -> jnp.ndarray:
         base = jax.random.key(self.cfg.seed)
@@ -440,9 +444,11 @@ class Encoder:
         n, h, w, c = frames_bgr.shape
         keys = self._keys(first_anchor_index, n - 1)
         # ship the free (N, H, W*3) reinterpretation: a trailing channel
-        # axis would be tile-padded 3->128 lanes on device (see preprocess)
+        # axis would be tile-padded 3->128 lanes on device (see
+        # preprocess). The HOST array goes straight to the jit so the
+        # H2D transfer writes the pinned layout directly
         packed = np.ascontiguousarray(frames_bgr).reshape(n, h, w * c)
-        return self._encode_batch(jnp.asarray(packed), keys)
+        return self._encode_batch(packed, keys)
 
     def encode_video(
         self,

@@ -92,10 +92,10 @@ def _jsplit_selector(channels: int, bw: int, gpx: int = 128) -> np.ndarray:
     ``(x_local)*C + c`` and lands on lane ``b`` of subplane ``(c, j)`` —
     the column-PITCHED plane layout the blockwise-DCT kernel consumes
     (ops/dct_pallas.py), emitted straight off the de-interleave
-    contraction with no transpose op anywhere. ``gpx = 960`` makes the
-    einsum's output minor axis 120 lanes (6.7% tile pad) instead of 16
-    (8x pad): the downstream merge into dense ``nbx`` lanes then repacks
-    ~1/8 the physical bytes."""
+    contraction with no transpose op anywhere. Keep ``gpx`` at 128: the
+    selector's useful density is 1/gpx per element, so wider groups
+    inflate the matmul FLOPs quadratically — gpx=960 measured 5.3 ms vs
+    0.9 for this einsum at 1080p despite its near-dense output minor."""
     bpg = gpx // bw
     sel = np.zeros((channels * bw, channels * gpx, bpg), np.float32)
     for c in range(channels):

@@ -981,7 +981,11 @@ def stack_refine_supported(
     pad = bound_in + r
     rowpad_b = -(-pad // block_h)
     halo_b = -(-pad // block_w)
-    n_tiles = 2 * rowpad_b + 2  # up to two block rows per program
+    # mirror the kernel's rows-per-program choice (rpp=2 for even mfh)
+    # so odd-mfh geometries near the VMEM bound are not rejected for a
+    # scratch the single-row kernel never allocates
+    rpp = 2 if mfh % 2 == 0 else 1
+    n_tiles = 2 * rowpad_b + rpp
     cells_bytes = n_tiles * block_h * (2 * halo_b + 1) * block_w * mfw
     return (
         mfw >= 8

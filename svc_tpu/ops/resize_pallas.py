@@ -118,9 +118,15 @@ def resize_rows_pallas(
     # the EXACT expression the view index maps recompute on device
     tile_rows = rt * np.arange(n_tiles, dtype=np.int64)
     bases = ((2 * tile_rows + 1) * h - out_h) // (2 * out_h)
-    e_tab = np.zeros(out_pad, np.int32)
-    e_tab[:out_h] = y0 - bases.repeat(rt)[:out_h] - (np.arange(out_h) % rt)
-    e_tab = np.clip(e_tab, 0, _E_MAX)
+    e_real = y0 - bases.repeat(rt)[:out_h] - (np.arange(out_h) % rt)
+    # the gate (rows_pallas_supported) guarantees this; assert rather
+    # than clip so an ungated call fails loudly instead of silently
+    # sampling the wrong source rows
+    assert (e_real >= 0).all() and e_real.max() <= _E_MAX, (
+        "resize_rows_pallas called outside its row-map gate"
+    )
+    e_tab = np.zeros(out_pad, np.int32)  # pad-tile rows stay at drift 0
+    e_tab[:out_h] = e_real
     f_tab = np.zeros(out_pad, np.float32)
     f_tab[:out_h] = fy
     # y1 = y0 + 1 except at the bottom clamp, where fy is forced 0 — the
