@@ -1,25 +1,36 @@
 """Headline benchmark: 1080p end-to-end encode throughput on one TPU chip,
-plus the full metric matrix (1080p decode, 4K encode/decode, CIF encode).
+plus the full metric matrix (1080p decode, 4K encode/decode, CIF encode,
+tunnel-inclusive staging).
 
 Measures the full encoder pipeline (pad -> luma -> 4-level pyramid -> HBMA
 16x16/range-8 -> RANSAC -> morphology -> k-means -> per-cluster CCL ->
 blockwise 8x8 DCT) at the reference's default codec configuration
-(apps/encoder.cpp:28-58) on synthetic BGR frames.
+(apps/encoder.cpp:28-58) on synthetic BGR frames, and the decoder pipeline
+(gaze/region dequant -> fused wire-IDCT -> display routes) on wire-shaped
+coefficient batches.
 
-Timing covers the full on-chip pipeline (synced via a device->host fetch of
-an output element each step; ``block_until_ready`` is unreliable on the
-tunneled dev platform). Input frames are staged on device once: on this dev
-box the chip is reached through a network tunnel whose ~0.2 GB/s H2D
-bandwidth is an environment artifact, not a property of the hardware
-(production PCIe/DMA streams uint8 frames at tens of GB/s and overlaps the
-copy with compute). Tunnel-inclusive numbers are printed to stderr for
-reference. DCT coefficients stay on device, mirroring a production pipeline
-that overlaps bitstream readback with the next batch's compute.
+EVERY LEG RUNS IN ITS OWN SUBPROCESS. Rationale: a TPU session that hits
+``INVALID_ARGUMENT`` (e.g. from a stale persistent-cache executable, the
+round-3 failure) is poisoned — every later dispatch fails — so leg
+isolation bounds any failure to one metric. On a failed leg the
+orchestrator purges the versioned compile cache and retries once in a
+fresh process. The risky tunnel-H2D staging demo runs LAST, after the
+whole matrix is banked.
 
-The reference publishes no numbers; ``vs_baseline`` is measured against the
-BASELINE.json north-star target of 500 fps/chip, and ``vs_reference``
+Timing covers the full on-chip pipeline (synced via a device->host fetch
+of an output element each step; ``block_until_ready`` is unreliable on
+the tunneled dev platform). Input frames are staged on device once: on
+this dev box the chip is reached through a network tunnel whose
+~0.2 GB/s H2D bandwidth is an environment artifact, not a property of
+the hardware (production PCIe/DMA streams uint8 frames at tens of GB/s
+and overlaps the copy with compute). The tunnel leg reports the
+staging-inclusive number for the record.
+
+The reference publishes no numbers; ``vs_baseline`` is measured against
+the BASELINE.json north-star target of 500 fps/chip, ``vs_reference``
 against the C++ reference binary measured on this host (6.46 fps 1080p on
-one SSE2 core — BASELINE.md, benchmarks/bench_reference.py).
+one SSE2 core — BASELINE.md), and ``roofline_fraction`` against the
+first-principles hardware floor derived in BASELINE.md.
 
 Prints exactly one JSON line; the primary metric keys come first for the
 driver parser, and the full matrix rides in ``extra_metrics``:
@@ -27,7 +38,10 @@ driver parser, and the full matrix rides in ``extra_metrics``:
    "vs_baseline": N, "vs_reference": N, "extra_metrics": [...]}
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -36,6 +50,15 @@ import numpy as np
 TARGET_FPS = 500.0  # BASELINE.json north-star: >500 fps 1080p per chip
 REFERENCE_FPS = 6.46  # measured C++ reference, 1080p, this host (BASELINE.md)
 REFERENCE_CIF_FPS = 84.8  # measured C++ reference, CIF (BASELINE.md)
+
+# first-principles hardware floors, seconds per batch (BASELINE.md
+# roofline sections): encode = HBM bytes + MXU wire-DCT bound at 1080p/16f
+ROOFLINE_BATCH_S = {
+    "encode_1080p": (2.75e-3, 16),  # (floor seconds, frames per batch)
+    "decode_1080p": (2.0e-3, 16),  # derived in BASELINE.md decode roofline
+}
+
+LEG_TIMEOUT_S = 1500
 
 
 def make_frames(t, h, w, seed=0):
@@ -77,15 +100,16 @@ def _pipeline_fps(step, t, iters):
     return iters * t / (time.perf_counter() - t0)
 
 
-def _encode_fps(h, w, t, iters):
-    """(encode fps, encoder, frames, last outputs) for one geometry."""
-    import jax
-
+def _make_encoder(h, w, t):
     from svc_tpu.config import EncoderConfig, VideoProperties
     from svc_tpu.models.encoder import Encoder
 
-    cfg = EncoderConfig()
-    enc = Encoder(cfg, VideoProperties(w, h, t + 1), batch_size=t)
+    return Encoder(EncoderConfig(), VideoProperties(w, h, t + 1), batch_size=t)
+
+
+def _encode_fps(h, w, t, iters):
+    """(encode fps, encoder, staged frames, keys, last outputs)."""
+    enc = _make_encoder(h, w, t)
     frames = make_frames(t + 1, h, w)
     keys = enc._keys(0, t)
     fdev = enc.stage_frames(frames.reshape(t + 1, h, w * 3))
@@ -101,124 +125,249 @@ def _encode_fps(h, w, t, iters):
     return fps, enc, fdev, keys, out
 
 
-def _decode_fps(enc, out, t, iters, gaze=True):
-    """Decode fps on the encoder's own coefficient batch."""
+def _decode_fps(h, w, t, iters, gaze=True, seed=1):
+    """Decode fps on synthesized wire-shaped coefficients.
+
+    Synthesizing (rather than re-running the encoder in this process)
+    keeps the leg isolated; decode cost is data-independent — the same
+    program, shapes, and layouts as decoding a real stream."""
     import jax
     import jax.numpy as jnp
 
     from svc_tpu.config import DecoderConfig
     from svc_tpu.models.decoder import Decoder
 
+    enc = _make_encoder(h, w, t)  # header/geometry only; never dispatched
     cfg = enc.cfg
     dec = Decoder(DecoderConfig(), enc.header(), batch_size=t)
-    ry = cfg.mv_block_h // cfg.transform_block_h
-    rx = cfg.mv_block_w // cfg.transform_block_w
-    btypes = jnp.repeat(jnp.repeat(out["block_types"], ry, 1), rx, 2)
-    h, w = enc.vidprops.frame_h, enc.vidprops.frame_w
+
+    nby = enc.padded_h // cfg.transform_block_h
+    nbx = enc.padded_w // cfg.transform_block_w
+    cpb = 3 * cfg.transform_block_h * cfg.transform_block_w
+    rng = np.random.default_rng(seed)
+    coeffs_host = (
+        rng.standard_normal((t, nby, nbx, cpb)).astype(np.float32) * 64.0
+    )
+    coeffs_host[..., 0] += 1024.0  # DC offset, realistic magnitude
+    btypes = jnp.asarray(
+        rng.integers(0, 11, (t, nby, nbx)).astype(np.uint32)
+    )
     rect = [w // 3, h // 3, 128, 128] if gaze else [0, 0, 0, 0]
     rects = jax.device_put(np.tile(np.array(rect, np.int32), (t, 1)))
-    coeffs = out["coeffs"]
+    coeffs = dec.stage_coeffs(coeffs_host)
+
+    t0 = time.perf_counter()
+    _sync(dec._decode_batch(coeffs, btypes, rects))
+    print(
+        f"[{w}x{h}] decode compile+first batch: "
+        f"{time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
     _sync(dec._decode_batch(coeffs, btypes, rects))
     return _pipeline_fps(
         lambda: dec._decode_batch(coeffs, btypes, rects), t, iters
     )
 
 
-def main():
-    import jax
+def _roofline_fraction(leg, fps):
+    entry = ROOFLINE_BATCH_S.get(leg)
+    if entry is None or not fps:
+        return None
+    floor_s, frames = entry
+    achieved_s = frames / fps
+    return round(floor_s / achieved_s, 3)
 
+
+# ----------------------------------------------------------------------
+# legs (each runs in its own subprocess)
+# ----------------------------------------------------------------------
+
+
+def leg_encode_1080p():
+    fps, _, _, _, _ = _encode_fps(1080, 1920, 16, iters=10)
+    return {
+        "metric": "1080p_encode_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+        "vs_reference": round(fps / REFERENCE_FPS, 2),
+        "roofline_fraction": _roofline_fraction("encode_1080p", fps),
+    }
+
+
+def leg_decode_1080p():
+    fps = _decode_fps(1080, 1920, 16, iters=8)
+    return {
+        "metric": "1080p_gaze_decode_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "roofline_fraction": _roofline_fraction("decode_1080p", fps),
+    }
+
+
+def leg_encode_4k():
+    fps, _, _, _, _ = _encode_fps(2160, 3840, 8, iters=6)
+    return {
+        "metric": "4k_encode_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+    }
+
+
+def leg_decode_4k():
+    fps = _decode_fps(2160, 3840, 8, iters=6)
+    return {
+        "metric": "4k_gaze_decode_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+    }
+
+
+def leg_encode_cif():
+    fps, _, _, _, _ = _encode_fps(288, 352, 32, iters=10)
+    return {
+        "metric": "cif_encode_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_reference": round(fps / REFERENCE_CIF_FPS, 2),
+    }
+
+
+def leg_tunnel_h2d():
+    """Staging-inclusive 1080p encode: every batch's frames cross the
+    ~0.2 GB/s dev tunnel, with the H2D of batch i+1 double-buffered
+    against the compute of batch i (runtime.staging). A dev-environment
+    artifact for the record; production PCIe changes the transport, not
+    the code path — the steady state is bounded by max(H2D, compute),
+    here the tunnel."""
+    from svc_tpu.runtime.staging import DoubleBufferedStager
+
+    t = 16
+    enc = _make_encoder(1080, 1920, t)
+    frames = make_frames(t + 1, 1080, 1920).reshape(t + 1, 1080, 1920 * 3)
+    keys = enc._keys(0, t)
+    _sync(enc._encode_batch(frames, keys))  # compile + warm
+
+    iters = 4
+    out = None
+    with DoubleBufferedStager(enc.stage_frames) as stager:
+        stager.submit(frames)
+        staged = stager.collect()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            stager.submit(frames)  # batch i+1 streams over the tunnel...
+            out = enc._encode_batch(staged, keys)  # ...while i computes
+            staged = stager.collect()
+        _sync(out)
+        fps = iters * t / (time.perf_counter() - t0)
+    return {
+        "metric": "1080p_encode_incl_tunnel_h2d_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+    }
+
+
+LEGS = {
+    "encode_1080p": leg_encode_1080p,
+    "decode_1080p": leg_decode_1080p,
+    "encode_4k": leg_encode_4k,
+    "decode_4k": leg_decode_4k,
+    "encode_cif": leg_encode_cif,
+    "tunnel_h2d": leg_tunnel_h2d,  # keep last: riskiest session state
+}
+
+
+def run_leg(name):
     from svc_tpu.runtime.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    import jax
 
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    print(f"[{name}] device: {jax.devices()[0]}", file=sys.stderr)
+    result = LEGS[name]()
+    print(json.dumps(result))
 
-    extra = []
 
-    # ---- primary: 1080p encode --------------------------------------
-    t1080 = 16
-    fps, enc, fdev, keys, out = _encode_fps(1080, 1920, t1080, iters=10)
-    print(f"1080p encode: {fps:.1f} fps (on-chip)", file=sys.stderr)
+# ----------------------------------------------------------------------
+# orchestrator
+# ----------------------------------------------------------------------
 
-    # tunnel-inclusive number for visibility (dev-env artifact: ~0.2 GB/s).
-    # The host copy must re-stage through the encoder's pinned layout — a
-    # bare device_put lands in the default layout and feeding that to the
-    # pinned jit poisons the tunnel session (every later dispatch fails
-    # INVALID_ARGUMENT)
-    host_frames = np.asarray(fdev)
-    t0 = time.perf_counter()
-    _sync(enc._encode_batch(enc.stage_frames(host_frames), keys))
-    print(
-        f"  incl. tunnel H2D: {t1080 / (time.perf_counter() - t0):.1f} fps",
-        file=sys.stderr,
+
+def _spawn_leg(name):
+    """Run one leg in a fresh process; return its JSON dict or None."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--leg", name],
+        stdout=subprocess.PIPE,
+        stderr=None,  # leg diagnostics pass through
+        timeout=LEG_TIMEOUT_S,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    if proc.returncode != 0:
+        print(f"[{name}] exited {proc.returncode}", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.decode().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    print(f"[{name}] produced no JSON result", file=sys.stderr)
+    return None
 
-    # ---- matrix ------------------------------------------------------
+
+def _run_leg_with_retry(name):
     try:
-        dfps = _decode_fps(enc, out, t1080, iters=8)
-        print(f"1080p decode: {dfps:.1f} fps", file=sys.stderr)
-        extra.append(
-            {
-                "metric": "1080p_gaze_decode_fps",
-                "value": round(dfps, 2),
-                "unit": "frames/s",
-            }
-        )
-    except Exception as e:  # never lose the primary line
-        print(f"1080p decode bench failed: {e}", file=sys.stderr)
+        result = _spawn_leg(name)
+    except subprocess.TimeoutExpired:
+        print(f"[{name}] timed out", file=sys.stderr)
+        result = None
+    if result is not None:
+        return result
+    # failed leg: purge the (versioned) compile cache — the round-3
+    # failure fingerprint was a poisoned persistent-cache executable —
+    # and retry once in another fresh process
+    from svc_tpu.runtime.cache import purge_cache
 
+    purge_cache()
+    print(f"[{name}] purged compile cache, retrying once", file=sys.stderr)
     try:
-        t4k = 8
-        fps4, enc4, _, _, out4 = _encode_fps(2160, 3840, t4k, iters=6)
-        print(f"4K encode: {fps4:.1f} fps", file=sys.stderr)
-        extra.append(
-            {
-                "metric": "4k_encode_fps",
-                "value": round(fps4, 2),
-                "unit": "frames/s",
-            }
-        )
-        dfps4 = _decode_fps(enc4, out4, t4k, iters=6)
-        print(f"4K gaze decode: {dfps4:.1f} fps", file=sys.stderr)
-        extra.append(
-            {
-                "metric": "4k_gaze_decode_fps",
-                "value": round(dfps4, 2),
-                "unit": "frames/s",
-            }
-        )
-        del enc4, out4
-    except Exception as e:
-        print(f"4K bench failed: {e}", file=sys.stderr)
+        return _spawn_leg(name)
+    except subprocess.TimeoutExpired:
+        print(f"[{name}] retry timed out", file=sys.stderr)
+        return None
 
-    try:
-        fps_cif, _, _, _, _ = _encode_fps(288, 352, 32, iters=10)
-        print(f"CIF encode: {fps_cif:.1f} fps", file=sys.stderr)
-        extra.append(
-            {
-                "metric": "cif_encode_fps",
-                "value": round(fps_cif, 2),
-                "unit": "frames/s",
-                "vs_reference": round(fps_cif / REFERENCE_CIF_FPS, 2),
-            }
-        )
-    except Exception as e:
-        print(f"CIF bench failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "1080p_encode_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / TARGET_FPS, 3),
-                "vs_reference": round(fps / REFERENCE_FPS, 2),
-                "extra_metrics": extra,
-            }
-        )
-    )
+def main():
+    results = {}
+    for name in LEGS:
+        results[name] = _run_leg_with_retry(name)
+
+    primary = results.get("encode_1080p")
+    extra = [
+        results[n]
+        for n in LEGS
+        if n != "encode_1080p" and results[n] is not None
+    ]
+    if primary is None:
+        # never lose the line: emit the failure explicitly
+        primary = {
+            "metric": "1080p_encode_fps",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "vs_reference": 0.0,
+            "error": "encode_1080p leg failed twice",
+        }
+    primary["extra_metrics"] = extra
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--leg", choices=sorted(LEGS), default=None)
+    args = parser.parse_args()
+    if args.leg:
+        run_leg(args.leg)
+    else:
+        main()

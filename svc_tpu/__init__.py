@@ -20,7 +20,7 @@ gaze-adaptive scalable video codec) designed TPU-first:
   (apps/encoder.cpp:75-104, libs/codec.hpp:8-17, libs/encoder.cpp:222-269).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 from svc_tpu.config import (  # noqa: F401
     DecoderConfig,

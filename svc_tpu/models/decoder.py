@@ -40,7 +40,7 @@ from svc_tpu.ops.dct_pallas import (
 )
 from svc_tpu.ops.quant import block_quant_steps, quantize
 from svc_tpu.ops.resize import resize_bilinear
-from svc_tpu.runtime.layouts import PinnedInput, row_major_format
+from svc_tpu.runtime.layouts import PinnedDispatch, row_major_format
 from svc_tpu.utils.mathx import round_half_away_from_zero
 
 
@@ -100,19 +100,15 @@ class Decoder:
             pins = self._layout_pins()
             jitted = jax.jit(fn, **pins)
             self._decode_jit = jitted  # profilers lower()/compile() this
-            # canonical staging/normalization of the pinned coefficient
-            # parameter (rationale + hazards: runtime/layouts.py)
-            self._coeff_pin = PinnedInput(
-                (pins.get("in_shardings") or (None,))[0]
-            )
-            if self._coeff_pin.fmt is not None:
-
-                def decode_pinned(coeffs, btypes, rects):
-                    return jitted(
-                        self._coeff_pin.normalize(coeffs), btypes, rects
-                    )
-
-                self._decode_batch = decode_pinned
+            # layout-safe dispatch of the pinned coefficient parameter:
+            # compiled once ahead-of-time, canonical format read from the
+            # executable itself (rationale + hazards: runtime/layouts.py)
+            if pins:
+                self._decode_batch = PinnedDispatch(
+                    jitted,
+                    pinned_argnums=(0,),
+                    fallback_formats={0: pins["in_shardings"][0]},
+                )
             else:
                 self._decode_batch = jitted
         else:
@@ -147,15 +143,14 @@ class Decoder:
             self._decode_batch = decode_sharded
 
     def stage_coeffs(self, coeffs: np.ndarray):
-        """Transfer host wire coefficients into the program's pinned
-        device layout in one H2D copy (benchmarks/pipelines that stage
-        inputs ahead of the timing loop should use this — a bare
-        ``device_put`` picks XLA's default layout and forces a 2.2 ms
-        on-device relayout per 1080p batch)."""
-        pin = getattr(self, "_coeff_pin", None)
-        if pin is None:
-            return jnp.asarray(coeffs)
-        return pin.stage(coeffs)
+        """Transfer host wire coefficients into the program's own device
+        layout in one H2D copy (benchmarks/pipelines that stage inputs
+        ahead of the timing loop should use this — a bare ``device_put``
+        picks XLA's default layout and forces a 2.2 ms on-device relayout
+        per 1080p batch)."""
+        if isinstance(self._decode_batch, PinnedDispatch):
+            return self._decode_batch.stage(0, coeffs)
+        return jnp.asarray(coeffs)
 
     def _layout_pins(self):
         """Pin the jitted step's boundary layouts to row-major.

@@ -62,7 +62,7 @@ from svc_tpu.ops.motion import hbma_stack
 from svc_tpu.ops.pad import pad_frame, padded_dims
 from svc_tpu.ops.pyramid import build_pyramid
 from svc_tpu.ops.ransac import estimate_global_motion_ransac, iter_count
-from svc_tpu.runtime.layouts import PinnedInput, row_major_format
+from svc_tpu.runtime.layouts import PinnedDispatch, row_major_format
 
 
 class Encoder:
@@ -136,19 +136,17 @@ class Encoder:
         pins = self._layout_pins()
         jitted = jax.jit(self.encode_batch_fn, **pins)
         self._encode_jit = jitted
-        # canonical staging/normalization of the pinned frame parameter
-        # (rationale + hazards: runtime/layouts.py — a device array in
-        # any other layout would otherwise reach the layout-specialized
-        # executable and fail at runtime, poisoning the session)
-        self._frames_pin = PinnedInput(
-            (pins.get("in_shardings") or (None,))[0]
-        )
-        if self._frames_pin.fmt is not None:
-
-            def encode_pinned(packed, keys):
-                return jitted(self._frames_pin.normalize(packed), keys)
-
-            self._encode_batch = encode_pinned
+        # layout-safe dispatch of the pinned frame parameter: the wrapper
+        # compiles once ahead-of-time, reads the executable's OWN concrete
+        # input format, and normalizes device-resident arguments to it —
+        # a mismatched tiling can never reach the executable (rationale +
+        # hazards: runtime/layouts.py)
+        if pins:
+            self._encode_batch = PinnedDispatch(
+                jitted,
+                pinned_argnums=(0,),
+                fallback_formats={0: pins["in_shardings"][0]},
+            )
         else:
             self._encode_batch = jitted
 
@@ -424,14 +422,14 @@ class Encoder:
         )
 
     def stage_frames(self, packed: np.ndarray):
-        """Transfer host packed frames into the program's pinned device
+        """Transfer host packed frames into the program's own device
         layout in one H2D copy (benchmarks that stage inputs ahead of the
         timing loop should use this — a bare ``device_put`` can pick a
         different layout and force a full on-device relayout per batch,
         measured 1.3 ms at 4K)."""
-        if self._frames_pin.fmt is None:
-            return jnp.asarray(packed)
-        return self._frames_pin.stage(packed)
+        if isinstance(self._encode_batch, PinnedDispatch):
+            return self._encode_batch.stage(0, packed)
+        return jnp.asarray(packed)
 
     def _keys(self, start_index: int, count: int) -> jnp.ndarray:
         base = jax.random.key(self.cfg.seed)
@@ -497,6 +495,13 @@ def stream_encode(
     i+1 — the streaming analog of the reference's reader/encoder/writer
     thread overlap (apps/encoder.cpp:172-229).
 
+    Host->device staging ALSO overlaps compute when the encoder exposes
+    ``stage_frames`` (the single-chip :class:`Encoder`): each batch's
+    frames are staged on a worker thread (runtime.staging) while the
+    previous batch computes, so steady-state throughput is bounded by
+    ``max(H2D, compute, D2H)`` instead of their sum — the transfer-level
+    analog of the reference's reader thread (apps/encoder.cpp:125-149).
+
     ``on_batch(first_anchor_index, outputs, n_valid)`` is an optional
     observability hook (used by the visualizer); ``tracer`` records
     device/serialize spans (runtime.tracing.Tracer).
@@ -551,29 +556,81 @@ def stream_encode(
 
     pending = None  # one batch in flight: fetch i while i+1 computes
 
-    def run(window_frames: List[np.ndarray], n_valid: int):
-        nonlocal anchor_index, pending
-        arr = np.stack(window_frames)
-        if tracer is not None:
-            with tracer.span("device_dispatch", frames=n_valid):
-                out = enc.encode_batch(arr, anchor_index)
+    # H2D staging one batch ahead of compute (single-chip batch protocol
+    # only; the sharded encoder distributes its own chunks)
+    use_staging = (
+        hasattr(enc, "stage_frames")
+        and hasattr(enc, "_encode_batch")
+        and hasattr(enc, "_keys")
+    )
+    stager = None
+    staged_meta = None  # (first_anchor_index, n_valid) of the staged batch
+
+    def dispatch(arr_or_staged, first_index: int, n_valid: int, staged: bool):
+        nonlocal pending
+        if staged:
+            keys = enc._keys(first_index, enc.batch_size)
+            if tracer is not None:
+                with tracer.span("device_dispatch", frames=n_valid):
+                    out = enc._encode_batch(arr_or_staged, keys)
+            else:
+                out = enc._encode_batch(arr_or_staged, keys)
         else:
-            out = enc.encode_batch(arr, anchor_index)
-        prev, pending = pending, (out, anchor_index, n_valid)
-        anchor_index += n_valid
+            if tracer is not None:
+                with tracer.span("device_dispatch", frames=n_valid):
+                    out = enc.encode_batch(arr_or_staged, first_index)
+            else:
+                out = enc.encode_batch(arr_or_staged, first_index)
+        prev, pending = pending, (out, first_index, n_valid)
         if prev is not None:
             yield from serialize(prev)
 
-    for frame in frames:
-        window.append(np.asarray(frame, dtype=np.uint8))
-        if len(window) == batch + 1:
-            yield from run(window, batch)
-            window = window[-1:]  # overlap frame
+    def run(window_frames: List[np.ndarray], n_valid: int):
+        nonlocal anchor_index, staged_meta
+        arr = np.stack(window_frames)
+        if stager is not None:
+            n, h = arr.shape[0], arr.shape[1]
+            packed = np.ascontiguousarray(arr).reshape(n, h, -1)
+            if staged_meta is not None:
+                staged = stager.collect()  # batch i-1's transfer
+                fi, nv = staged_meta
+                stager.submit(packed)  # batch i streams H2D...
+                staged_meta = (anchor_index, n_valid)
+                anchor_index += n_valid
+                # ...while batch i-1 computes
+                yield from dispatch(staged, fi, nv, staged=True)
+            else:
+                stager.submit(packed)
+                staged_meta = (anchor_index, n_valid)
+                anchor_index += n_valid
+        else:
+            fi = anchor_index
+            anchor_index += n_valid
+            yield from dispatch(arr, fi, n_valid, staged=False)
 
-    remainder = len(window) - 1
-    if remainder > 0:
-        # pad to the compiled batch shape; discard surplus outputs
-        pad = [window[-1]] * (batch - remainder)
-        yield from run(window + pad, remainder)
-    if pending is not None:
-        yield from serialize(pending)
+    try:
+        if use_staging:
+            from svc_tpu.runtime.staging import DoubleBufferedStager
+
+            stager = DoubleBufferedStager(enc.stage_frames)
+
+        for frame in frames:
+            window.append(np.asarray(frame, dtype=np.uint8))
+            if len(window) == batch + 1:
+                yield from run(window, batch)
+                window = window[-1:]  # overlap frame
+
+        remainder = len(window) - 1
+        if remainder > 0:
+            # pad to the compiled batch shape; discard surplus outputs
+            pad = [window[-1]] * (batch - remainder)
+            yield from run(window + pad, remainder)
+        if staged_meta is not None:
+            staged = stager.collect()
+            fi, nv = staged_meta
+            yield from dispatch(staged, fi, nv, staged=True)
+        if pending is not None:
+            yield from serialize(pending)
+    finally:
+        if stager is not None:
+            stager.close()

@@ -8,20 +8,26 @@ host ships and what the serializer memcpys — deletes that waste, but
 introduces two hazards this module centralizes the defenses for:
 
 * a pinned ``Format`` leaves the TILING unspecified, so the compiled
-  executable specializes to the concrete tiling of the first argument
-  that reaches it, and the persistent compile cache does NOT key on that
-  choice — a later device-resident argument with any other tiling fails
-  at runtime with ``INVALID_ARGUMENT: TPU backend error`` and leaves the
-  tunnel session poisoned (every subsequent dispatch fails);
+  executable commits to one concrete tiling at compile time, and the
+  persistent compile cache does NOT key on that choice — a
+  device-resident argument with any other tiling fails at runtime with
+  ``INVALID_ARGUMENT: TPU backend error`` and leaves the tunnel session
+  poisoned (every subsequent dispatch fails — this took out 3 of 4 bench
+  matrix legs in the round-3 driver run);
 * a blind per-call ``device_put(x, fmt)`` never compares equal to a
   concrete on-device layout (tiling None vs concrete), so it re-copies
   the full tensor on EVERY call (measured 2.4 ms at 1080p decode).
 
-:class:`PinnedInput` therefore stages host arrays through the pin once,
-records the resulting CANONICAL concrete format, and normalizes any
-device-resident argument to it — skipping the copy when formats already
-match. Host (numpy) arrays pass straight to the jit, whose H2D transfer
-writes the pinned layout directly.
+:class:`PinnedDispatch` makes the mismatch structurally impossible: on
+the first call it compiles the program ONCE (ahead-of-time, from abstract
+shapes — no argument data can influence the executable), reads the
+executable's OWN concrete input formats as the canonical layouts, then
+routes every call through that same executable with device-resident
+arguments normalized to the canonical format first (a no-op copy-skip
+when they already match; host arrays pass straight through, their H2D
+transfer writes the canonical layout directly). The executable the
+arguments reach is by construction the executable whose formats they
+were normalized to.
 """
 
 from __future__ import annotations
@@ -45,42 +51,86 @@ def row_major_format(ndim: int):
         return None
 
 
-class PinnedInput:
-    """Canonical staging/normalization for one pinned jit parameter."""
+class PinnedDispatch:
+    """Layout-safe dispatch wrapper around one layout-pinned jit.
 
-    def __init__(self, fmt):
-        self.fmt = fmt
-        self._canonical = None
+    Args:
+      jitted: the ``jax.jit``-wrapped function (with its layout pins).
+      pinned_argnums: positions of the arguments whose pinned ``Format``
+        leaves tiling unspecified (the hazard cases). Other arguments
+        pass through untouched.
+    """
 
-    def stage(self, host_array):
-        """One H2D copy straight into the pinned layout (benchmarks and
-        pipelines that pre-stage inputs ahead of a timing loop)."""
+    def __init__(self, jitted, pinned_argnums=(0,), fallback_formats=None):
+        self._jitted = jitted
+        self._pinned_argnums = tuple(pinned_argnums)
+        self._fallback = dict(fallback_formats or {})  # argnum -> Format
+        self._compiled = None
+        self._canonical = {}  # argnum -> concrete Format
+        self._abstract = None  # ShapeDtypeStructs the AOT signature holds
+
+    def _ensure_compiled(self, args):
+        import jax
+
+        abstract = tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args
+        )
+        if self._compiled is not None and abstract == self._abstract:
+            return True
+        try:
+            compiled = self._jitted.lower(*abstract).compile()
+            in_fmts = compiled.input_formats[0]
+        except Exception:
+            return False  # backend without AOT/layout introspection
+        self._compiled = compiled
+        self._abstract = abstract
+        self._canonical = {
+            i: in_fmts[i] for i in self._pinned_argnums
+        }
+        return True
+
+    def _normalize(self, i, x):
+        """Bring a device-resident argument into the executable's own
+        concrete format (no-op when already there); host arrays pass
+        straight through — their H2D transfer writes the pinned layout."""
+        import jax
+
+        if not isinstance(x, jax.Array):
+            return x
+        canon = self._canonical.get(i)
+        if canon is None:
+            return x
+        try:
+            if x.format == canon:
+                return x
+        except Exception:
+            pass
+        return jax.device_put(x, canon)
+
+    def __call__(self, *args):
+        if not self._ensure_compiled(args):
+            return self._jitted(*args)
+        norm = [
+            self._normalize(i, a) if i in self._canonical else a
+            for i, a in enumerate(args)
+        ]
+        return self._compiled(*norm)
+
+    def canonical_format(self, argnum=0):
+        """The executable's concrete input format (None until first call)."""
+        return self._canonical.get(argnum)
+
+    def stage(self, argnum, host_array):
+        """One H2D copy of a host array straight into the executable's
+        canonical layout (benchmarks/pipelines that pre-stage inputs
+        ahead of a timing loop). Before the first compile the abstract
+        pin is used; its concrete tiling and the executable's coincide
+        (both are the backend default for the pinned order), and
+        ``__call__`` re-normalizes if they ever do not."""
         import jax
         import jax.numpy as jnp
 
-        if self.fmt is None:
+        fmt = self._canonical.get(argnum) or self._fallback.get(argnum)
+        if fmt is None:
             return jnp.asarray(host_array)
-        staged = jax.device_put(host_array, self.fmt)
-        if self._canonical is None:
-            try:
-                self._canonical = staged.format
-            except Exception:
-                pass
-        return staged
-
-    def normalize(self, x):
-        """Pass host arrays through; bring device-resident arrays into
-        the canonical concrete layout (no-op when already there)."""
-        import jax
-
-        if self.fmt is None or not isinstance(x, jax.Array):
-            return x
-        canon = self._canonical
-        cur = getattr(x, "format", None)
-        if canon is None or cur != canon:
-            x = jax.device_put(x, canon or self.fmt)
-            try:
-                self._canonical = x.format
-            except Exception:
-                pass
-        return x
+        return jax.device_put(host_array, fmt)
