@@ -17,7 +17,9 @@ New, TPU-specific fields (all optional, defaulted):
   reference: libs/motion.cpp:186-187).
 * ``reference_compat`` — when True, reproduces the reference's k-means
   feature-layout bug (quirk Q1, reference: libs/encoder.cpp:316-319 +
-  libs/math.hpp:285-291) for bit-level parity experiments.
+  libs/math.hpp:285-291) AND cv::kmeans' exact empty-cluster repair rule
+  (split the biggest cluster; ops/kmeans.py ``repair="opencv_split"``)
+  for bit-level parity experiments.
 """
 
 from __future__ import annotations

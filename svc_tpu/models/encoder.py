@@ -276,6 +276,14 @@ class Encoder:
                 attempts=cfg.kmeans.attempt_count,
                 max_iter=cfg.kmeans.max_iter_count,
                 epsilon=cfg.kmeans.epsilon,
+                # reference-compat replicates cv::kmeans' empty-cluster
+                # rule (split the biggest cluster) exactly; production
+                # uses the TPU-cheap global-farthest rule (ops/kmeans.py)
+                repair=(
+                    "opencv_split"
+                    if cfg.reference_compat
+                    else "global_farthest"
+                ),
             )
             labels = labels.reshape(-1, mfh, mfw)
 

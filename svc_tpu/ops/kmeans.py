@@ -11,8 +11,12 @@ jitted, static-shape implementation:
   ``epsilon**2`` or ``max_iter`` is reached (TermCriteria COUNT|EPS,
   libs/encoder.cpp:572-575) — realized as a fixed-trip loop with frozen
   updates after convergence (static shapes for jit),
-* OpenCV-style empty-cluster repair: an empty cluster is re-seeded to the
-  point farthest from its assigned center,
+* empty-cluster repair, two rules: the production default re-seeds an
+  empty cluster to the globally farthest point from its assigned center
+  (one masked argmax, no per-cluster passes — TPU-cheap, divergence from
+  OpenCV compactness-bounded in tests); ``repair="opencv_split"``
+  replicates cv::kmeans exactly — the empty cluster takes the farthest
+  member of the biggest cluster (used under ``reference_compat``),
 * multiple attempts scored by compactness (sum of squared distances), best
   attempt returned — matching the ``attempts`` semantics.
 
@@ -113,6 +117,54 @@ def _assign(xt: jnp.ndarray, centers: jnp.ndarray, mask: jnp.ndarray):
     return labels, point_d2
 
 
+def _opencv_split_repair(xt, mask, labels, sums, counts, k):
+    """OpenCV's empty-cluster repair (cv::kmeans, core/src/kmeans.cpp):
+    each empty cluster — in cluster-index order — takes the farthest
+    member (squared L2 to the center, LAST-wins tie like cv's
+    ``max_dist <= dist``) of the biggest cluster (by count, FIRST-wins
+    tie like cv's strict ``<`` compare), with labels/sums/counts updated
+    before the next empty cluster is processed.
+
+    ``sums`` is ``(k, D)`` raw per-cluster feature sums, ``counts``
+    ``(k,)``. Returns the adjusted ``(labels, sums, counts)``.
+    """
+    n = xt.shape[1]
+    lanes = jnp.arange(n, dtype=jnp.int32)
+
+    def fix_one(kk, carry):
+        labels, sums, counts = carry
+
+        def do(carry):
+            labels, sums, counts = carry
+            max_k = jnp.argmax(counts).astype(jnp.int32)
+            # cv normalizes by RECIPROCAL-MULTIPLY (scale = 1.f/count;
+            # center[j] * scale), which can differ from a divide in the
+            # last ulp — replicate for exactness
+            center = jnp.take(sums, max_k, axis=0) * (
+                1.0 / jnp.maximum(jnp.take(counts, max_k), 1.0)
+            )  # (D,)
+            d2 = jnp.sum((xt - center[:, None]) ** 2, axis=0)
+            memb = (labels == max_k) & mask
+            d2 = jnp.where(memb, d2, -1.0)
+            mx = jnp.max(d2)
+            # last index achieving the max (cv: max_dist <= dist)
+            far = jnp.max(jnp.where(d2 >= mx, lanes, -1))
+            point = jnp.take(xt, far, axis=1)  # (D,)
+            labels = labels.at[far].set(kk)
+            sums = sums.at[kk].add(point).at[max_k].add(-point)
+            counts = counts.at[kk].add(1.0).at[max_k].add(-1.0)
+            return labels, sums, counts
+
+        return jax.lax.cond(
+            jnp.take(counts, kk) == 0.0,
+            do,
+            lambda c: c,
+            (labels, sums, counts),
+        )
+
+    return jax.lax.fori_loop(0, k, fix_one, (labels, sums, counts))
+
+
 def _lloyd_attempt(
     key: jnp.ndarray,
     xt: jnp.ndarray,
@@ -120,6 +172,7 @@ def _lloyd_attempt(
     k: int,
     max_iter: int,
     epsilon: float,
+    repair: str = "global_farthest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     centers = _plus_plus_init(key, xt, mask, k)
     maskf = mask.astype(xt.dtype)
@@ -142,14 +195,31 @@ def _lloyd_attempt(
             (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         ).T
+
+        if repair == "opencv_split":
+            # OpenCV's split-the-biggest-cluster rule, for
+            # reference-compat parity (see _opencv_split_repair)
+            _, sums, counts = _opencv_split_repair(
+                xt, mask, labels, sums, counts, k
+            )
+            new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+            shift2 = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=-1))
+            new_done = done | (shift2 <= epsilon**2)
+            centers = jnp.where(done, centers, new_centers)
+            return (centers, new_done), None
+
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
 
-        # empty-cluster repair: the j-th empty cluster (by index) moves onto
-        # the j-th farthest valid point; empties are rare, so the masked
-        # argmax loop runs a data-dependent n_empty times — usually ZERO
-        # (a batched while whose condition is already false), instead of a
-        # fixed k passes every Lloyd iteration (lax.top_k is worse still:
-        # it lowers to a full sort)
+        # production empty-cluster repair: the j-th empty cluster (by
+        # index) moves onto the j-th farthest valid point (globally);
+        # empties are rare, so the masked argmax loop runs a
+        # data-dependent n_empty times — usually ZERO (a batched while
+        # whose condition is already false), instead of a fixed k passes
+        # every Lloyd iteration (lax.top_k is worse still: it lowers to a
+        # full sort). Divergence from OpenCV's rule is deliberate (the
+        # global pick needs no per-cluster distance passes) and
+        # compactness-bounded (test_segmentation_ops.py); exact-rule
+        # parity is available via repair="opencv_split".
         empty = counts == 0
         n_empty = jnp.sum(empty.astype(jnp.int32))
 
@@ -169,10 +239,10 @@ def _lloyd_attempt(
             (jnp.zeros((k,), jnp.int32), jnp.where(mask, point_d2, -1.0)),
         )
         empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        repair = jnp.take(
+        reseed = jnp.take(
             xt, far_idx[jnp.clip(empty_rank, 0, k - 1)], axis=1
         ).T
-        new_centers = jnp.where(empty[:, None], repair, new_centers)
+        new_centers = jnp.where(empty[:, None], reseed, new_centers)
 
         shift2 = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=-1))
         new_done = done | (shift2 <= epsilon**2)
@@ -197,7 +267,8 @@ def _lloyd_attempt(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "attempts", "max_iter", "epsilon")
+    jax.jit,
+    static_argnames=("k", "attempts", "max_iter", "epsilon", "repair"),
 )
 def kmeans_t(
     features_t: jnp.ndarray,
@@ -207,6 +278,7 @@ def kmeans_t(
     attempts: int = 3,
     max_iter: int = 10,
     epsilon: float = 1.0,
+    repair: str = "global_farthest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Cluster valid feature columns of ``(D, N)`` features into ``k``
     groups — the transpose-free entry point (callers that can build
@@ -230,7 +302,9 @@ def kmeans_t(
     )
 
     d, n = features_t.shape
-    if lloyd_pallas_supported(n, k, d):
+    # the fused Lloyd kernel implements the production repair rule only;
+    # opencv_split (reference-compat parity) runs the XLA path
+    if repair == "global_farthest" and lloyd_pallas_supported(n, k, d):
         # seeding stays here (one pass, needs cumsum); all Lloyd
         # iterations of every attempt run in one VMEM-resident kernel
         centers0 = jax.vmap(
@@ -258,7 +332,8 @@ def kmeans_t(
 
     labels_a, centers_a, compact_a = jax.vmap(
         lambda kk: _lloyd_attempt(
-            kk, features_t, mask, k, max_iter, float(epsilon)
+            kk, features_t, mask, k, max_iter, float(epsilon),
+            repair=repair,
         )
     )(keys)
     best = jnp.argmin(compact_a)
@@ -267,7 +342,8 @@ def kmeans_t(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "attempts", "max_iter", "epsilon")
+    jax.jit,
+    static_argnames=("k", "attempts", "max_iter", "epsilon", "repair"),
 )
 def kmeans_t_frames(
     features_t: jnp.ndarray,
@@ -277,6 +353,7 @@ def kmeans_t_frames(
     attempts: int = 3,
     max_iter: int = 10,
     epsilon: float = 1.0,
+    repair: str = "global_farthest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Frame-batched :func:`kmeans_t`: cluster every frame of an encode
     batch in ONE fused kernel invocation.
@@ -299,11 +376,12 @@ def kmeans_t_frames(
 
     f, d, n = features_t.shape
     grp = lloyd_frame_group(f, n, k, d)
-    if not grp:
+    if not grp or repair != "global_farthest":
         return jax.vmap(
             lambda ft, mk, kk: kmeans_t(
                 ft, mk, k, kk,
                 attempts=attempts, max_iter=max_iter, epsilon=epsilon,
+                repair=repair,
             )
         )(features_t, mask, keys)
 
@@ -329,16 +407,49 @@ def kmeans_t_frames(
     )
     mask_f = mask.astype(jnp.float32)[:, None, :]
     # frame groups sized to the kernel's VMEM gate (one invocation per
-    # group; 1080p's 16-frame batch runs as two 8-frame groups)
-    parts = [
-        lloyd_pallas_batched(
-            x_aug[s : s + grp],
-            mask_f[s : s + grp],
-            init[:, s : s + grp],
-            k, d, max_iter, float(epsilon),
-        )
-        for s in range(0, f, grp)
-    ]
+    # group; 1080p's 16-frame batch runs as two 8-frame groups). Frame
+    # counts that are not multiples of the group run a smaller tail
+    # group (>= 2 frames; a single leftover frame takes the per-frame
+    # kernel) instead of silently falling back to the slow vmap path.
+    parts = []
+    s = 0
+    while s < f:
+        g_sz = min(grp, f - s)
+        if g_sz >= 2:
+            parts.append(
+                lloyd_pallas_batched(
+                    x_aug[s : s + g_sz],
+                    mask_f[s : s + g_sz],
+                    init[:, s : s + g_sz],
+                    k, d, max_iter, float(epsilon),
+                )
+            )
+        else:
+            lab1, cen1, cmp1 = kmeans_t(
+                features_t[s], mask[s], k, keys[s],
+                attempts=attempts, max_iter=max_iter, epsilon=epsilon,
+            )
+            # match the batched kernel's (A, F, ...) part shape: the
+            # best attempt is already selected, so replicate it per
+            # attempt slot with equal compactness (argmin picks slot 0)
+            parts.append(
+                (
+                    jnp.broadcast_to(
+                        jnp.where(mask[s], lab1, 0).astype(jnp.float32)[
+                            None, None, :
+                        ],
+                        (attempts, 1, n),
+                    ),
+                    jnp.broadcast_to(
+                        jnp.zeros((16, 128), jnp.float32)
+                        .at[:k, :d]
+                        .set(cen1)[None, None],
+                        (attempts, 1, 16, 128),
+                    ),
+                    jnp.broadcast_to(cmp1[None, None], (attempts, 1)),
+                )
+            )
+        s += g_sz
     lab_a = jnp.concatenate([p[0] for p in parts], axis=1)
     cen_a = jnp.concatenate([p[1] for p in parts], axis=1)
     compact_a = jnp.concatenate([p[2] for p in parts], axis=1)

@@ -210,7 +210,8 @@ def _make_lloyd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "max_iter", "epsilon")
+    jax.jit,
+    static_argnames=("k", "d", "max_iter", "epsilon", "interpret"),
 )
 def lloyd_pallas(
     x_aug: jnp.ndarray,
@@ -220,6 +221,7 @@ def lloyd_pallas(
     d: int,
     max_iter: int,
     epsilon: float,
+    interpret: bool = False,
 ):
     """Run all Lloyd attempts for one frame in one kernel.
 
@@ -285,6 +287,7 @@ def lloyd_pallas(
             pltpu.VMEM((_KPAD, 128), jnp.float32),  # working centers
             pltpu.SMEM((1, 1), jnp.float32),  # per-attempt done flag
         ],
+        interpret=interpret,
     )(
         x_aug,
         mask_f,
@@ -476,7 +479,8 @@ def _make_lloyd_batched_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "max_iter", "epsilon")
+    jax.jit,
+    static_argnames=("k", "d", "max_iter", "epsilon", "interpret"),
 )
 def lloyd_pallas_batched(
     x_aug: jnp.ndarray,
@@ -486,6 +490,7 @@ def lloyd_pallas_batched(
     d: int,
     max_iter: int,
     epsilon: float,
+    interpret: bool = False,
 ):
     """Run all Lloyd attempts for a FRAME BATCH in one kernel.
 
@@ -568,6 +573,7 @@ def lloyd_pallas_batched(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
+        interpret=interpret,
     )(x_aug, mask_f, init_centers, jnp.asarray(tril))
     return lab[:, :, :n_in], cen, cmp_[:, :, 0]
 
@@ -599,10 +605,13 @@ def lloyd_batched_supported(f: int, n: int, k: int, d: int) -> bool:
 
 
 def lloyd_frame_group(f: int, n: int, k: int, d: int) -> int:
-    """Largest divisor of ``f`` whose group passes the VMEM gate (0 when
-    even a 2-frame group does not fit)."""
+    """Largest group size (<= f) passing the VMEM gate — NOT restricted
+    to divisors of ``f``: awkward frame counts (primes, 2^k + 1) run
+    floor(f/g) full groups plus one smaller tail group (a 1-frame tail
+    uses the per-frame kernel; kmeans.kmeans_t_frames). Returns 0 when
+    even a 2-frame group does not fit."""
     for g in range(f, 1, -1):
-        if f % g == 0 and lloyd_batched_supported(g, n, k, d):
+        if lloyd_batched_supported(g, n, k, d):
             return g
     return 0
 

@@ -71,9 +71,17 @@ def test_pallas_route_matches_xla_fallback(w, h, ew, eh, monkeypatch):
     ref = np.asarray(dec_xla._decode_batch(coeffs, btypes, rects))
 
     assert got.shape == ref.shape == (t, h, w * 3)
-    # routes may associate the resample/round float math differently
-    # (FMA): identical after the uint8 display quantization up to the
-    # documented boundary-pixel tolerance (BASELINE.md decoded impact)
-    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
-    assert diff.max() <= 1
-    assert (diff > 0).mean() < 1e-3
+    if ew == 0 and eh == 0:
+        # zero-excess route: the fused-u8 IDCT emit and the XLA fallback
+        # share the identical dequant + stage-dot + round/clip chain with
+        # NO resample float math on either side — bit-identical, so any
+        # nonzero diff here is a regression, not tolerance
+        np.testing.assert_array_equal(got, ref)
+    else:
+        # resampling routes may associate the resample/round float math
+        # differently (FMA): identical after the uint8 display
+        # quantization up to the documented boundary-pixel tolerance
+        # (BASELINE.md decoded impact)
+        diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
