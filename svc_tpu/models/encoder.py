@@ -130,6 +130,40 @@ class Encoder:
             )
         )
 
+        # pitched-luma motion frontend: pyramid level 1 and the
+        # base-level refine consume the j-split luma subplanes directly
+        # (see preprocess) — requires the pitched pyrDown and refine
+        # gates at this geometry plus a real pyramid (>= 2 levels, so
+        # EBMA runs on a downsampled spatial level)
+        self._use_pitched_motion = False
+        if self._use_jsplit and cfg.pyr_lvl_count >= 2:
+            from svc_tpu.ops.motion_pallas import pitched_refine_supported
+            from svc_tpu.ops.pyramid_pallas import (
+                pallas_pyr_mxu_pitched_supported,
+            )
+
+            tbw = cfg.transform_block_w
+            factor = 1 << (cfg.pyr_lvl_count - 1)
+            top_range = cfg.mv_search_range // factor
+            bound = top_range
+            for _ in range(cfg.pyr_lvl_count - 1):
+                bound = 2 * bound + top_range
+            base_bound_in = (bound - top_range)  # bound_in at level 0
+            self._use_pitched_motion = (
+                pallas_pyr_mxu_pitched_supported(
+                    tbw, self.padded_h, self.padded_w
+                )
+                and pitched_refine_supported(
+                    tbw,
+                    self.mv_field_h,
+                    self.mv_field_w,
+                    cfg.mv_block_w,
+                    cfg.mv_block_h,
+                    top_range,
+                    base_bound_in,
+                )
+            )
+
         self.encode_pairs = self._build_encode_pairs()
         # the traceable batch step (public, for jit/sharding composition)
         self.encode_batch_fn = self._build_encode_batch()
@@ -264,6 +298,9 @@ class Encoder:
                 cfg.mv_search_range,
                 cfg.mv_block_w,
                 cfg.mv_block_h,
+                base_pitched=(
+                    pyr_stack[0] if self._use_pitched_motion else None
+                ),
             )
             fg_raw, fg, gm, rmse, feats, masks, kmeans_keys = jax.vmap(
                 per_pair
@@ -368,6 +405,24 @@ class Encoder:
                 p, ((0, 0), (0, 0), (0, 0), (0, self.excess_h), (0, 0))
             )  # bottom zero rows = pad_frame on every subplane
             y8 = bgr_planes_to_y(p[0], p[1], p[2])  # (tbw, N, PH, nbx)
+            if self._use_pitched_motion:
+                # the spatial luma plane NEVER materializes: pyramid
+                # level 1 comes from the pitched-input pyrDown (its
+                # filter matmul absorbs the un-pitch permutation,
+                # ops/pyramid_pallas.py) and the base-level refine
+                # consumes y8 through motion_pallas' pitched cell
+                # builder — deleting the ~0.6 ms/batch respatialize
+                # transpose plus the refine's ~0.9 ms plane pad + lane
+                # transpose at 1080p, bit-identically
+                from svc_tpu.ops.pyramid_pallas import (
+                    pyr_down_mxu_pitched_pallas,
+                )
+
+                l1 = pyr_down_mxu_pitched_pallas(y8)
+                levels = [y8] + build_pyramid(
+                    l1, self.cfg.pyr_lvl_count - 1
+                )
+                return p, tuple(levels)
             # respatialize luma for the pyramid/motion stages: moving the
             # column phase j to the minor axis makes col = bx*tbw + j
             y = y8.transpose(1, 2, 3, 0).reshape(

@@ -652,6 +652,7 @@ def hbma_stack(
     search_range: int,
     block_w: int,
     block_h: int,
+    base_pitched: "jnp.ndarray | None" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hierarchical block matching over a FULL frame-stack pyramid.
 
@@ -664,6 +665,16 @@ def hbma_stack(
     copies of the pyramid, no per-frame window prep (both measured
     hot in the encode profile). Semantics are identical to
     ``vmap(hbma)`` over the sliced pyramids (asserted in test_motion).
+
+    Args (extension): ``base_pitched`` — the base level as COLUMN-PITCHED
+    luma subplanes ``(tbw, T+1, fh, fw//tbw)`` (the j-split frontend's
+    native luma layout). When given and the pitched refine gate holds,
+    level 0 runs :func:`motion_pallas.refine_mads_stack_pitched_pallas`
+    and the spatial base plane NEVER materializes (deleting the ~1.5
+    ms/batch respatialize + pad + lane-transpose chain at 1080p);
+    ``pyramid_stack[0]`` may then be the pitched array itself — it is
+    only consumed spatially on the fallback path, where it is
+    respatialized on demand. SADs are bit-identical either way.
 
     Returns ``(mv (T, mfh, mfw, 2), min_mad (T, mfh, mfw))``.
     """
@@ -687,7 +698,9 @@ def hbma_stack(
     )(top[:-1], top[1:])
 
     from svc_tpu.ops.motion_pallas import (
+        pitched_refine_supported,
         refine_mads_stack_pallas,
+        refine_mads_stack_pitched_pallas,
         stack_refine_supported,
     )
 
@@ -696,11 +709,49 @@ def hbma_stack(
         scale = 1 << lvl
         mv = mv * 2.0
         bound_in = 2 * bound
-        stack = pyramid_stack[lvl]
         bw, bh = block_w // scale, block_h // scale
+        r = top_range
+        pitched = base_pitched if lvl == 0 else None
+        if pitched is not None:
+            tbw_p = pitched.shape[0]
+            fh = pitched.shape[2]
+            fw = tbw_p * pitched.shape[3]
+            mfh, mfw = fh // bh, fw // bw
+            if pitched_refine_supported(
+                tbw_p, mfh, mfw, bw, bh, r, bound_in
+            ):
+                area = float(bw * bh)
+                mv_round = jnp.round(mv).astype(jnp.int32)
+                mv_yx = jnp.stack(
+                    [
+                        mv_round[..., 1][:, :, None, :],
+                        mv_round[..., 0][:, :, None, :],
+                    ],
+                    axis=2,
+                )
+                sads = refine_mads_stack_pitched_pallas(
+                    pitched, mv_yx, r, bound_in, bw, bh
+                )
+                ncand = (2 * r + 1) ** 2
+                mads = [
+                    sads[:, :, i, :].astype(jnp.float32)
+                    / jnp.float32(area)
+                    for i in range(ncand)
+                ]
+                mv, min_mad = _refine_select(
+                    mads, mv, min_mad, r, bw, bh, fh, fw
+                )
+                bound = bound_in + top_range
+                continue
+            # gate miss: respatialize on demand and fall through to the
+            # spatial paths below
+            stack = pitched.transpose(1, 2, 3, 0).reshape(
+                pitched.shape[1], fh, fw
+            )
+        else:
+            stack = pyramid_stack[lvl]
         fh, fw = stack.shape[1:]
         mfh, mfw = fh // bh, fw // bw
-        r = top_range
         if stack_refine_supported(mfh, mfw, bw, bh, r, bound_in):
             area = float(bw * bh)
             mv_round = jnp.round(mv).astype(jnp.int32)

@@ -873,21 +873,13 @@ def refine_mads_stack_pallas(
     kernel. Bit-exact vs the XLA fallback path (integer arithmetic).
     """
     tp1, fh, fw = stack.shape
-    t = tp1 - 1
     bw, bh = block_w, block_h
-    mfh, mfw = fh // bh, fw // bw
     pad = bound_in + r
-    ncand = (2 * r + 1) ** 2
-    rows_out = ((ncand + 7) // 8) * 8
-
     rowpad_b = -(-pad // bh)
     halo_b = -(-pad // bw)
     row_pad = rowpad_b * bh
     col_pad = halo_b * bw
-    rpp = 2 if mfh % 2 == 0 else 1  # block rows per program
-    n_tiles = 2 * rowpad_b + rpp
-    lanes = mfw + 2 * halo_b
-    cw_cells = (2 * halo_b + 1) * bw
+    lanes = fw // bw + 2 * halo_b
 
     # ONE shared block-pitched tensor for the whole stack:
     #   q[t, row, o, jk] = padded[t, row, jk*bw + o]
@@ -904,6 +896,112 @@ def refine_mads_stack_pallas(
     q = jnp.swapaxes(
         padded.reshape(tp1, fh + 2 * row_pad, lanes, bw), -1, -2
     )  # (T+1, rows_p, bw, lanes)
+    return _refine_stack_call(
+        q, fh, fw, mv_yx, r, bound_in, block_w, block_h
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _pitched_cell_selector(m: int, nbx: int, lanes: int, halo_b: int, b: int):
+    """(nbx, lanes) 0/1 selector: subplane lanes -> cell lanes for MV
+    block phase ``b`` (cell lane l holds subplane column m*(l - halo_b)
+    + b; out-of-range columns are the zero halo)."""
+    sel = np.zeros((nbx, lanes), np.float32)
+    for l in range(lanes):
+        x = m * (l - halo_b) + b
+        if 0 <= x < nbx:
+            sel[x, l] = 1.0
+    return sel
+
+
+def stack_cells_from_pitched(
+    y8: jnp.ndarray, block_w: int, r: int, bound_in: int, block_h: int
+) -> jnp.ndarray:
+    """Build the refine kernel's shared cell tensor ``q`` straight from
+    COLUMN-PITCHED luma subplanes (ops/color luma of the j-split
+    de-interleave: ``y8[j, t, row, bx] = Y[t, row, bx*tbw + j]``),
+    replacing the spatial path's full-plane pad + lane transpose
+    (~0.9 ms/batch at 1080p) with one tiny exact selection einsum per
+    q sublane: q sublane ``o`` reads subplane ``o mod tbw`` through a
+    (nbx, lanes) 0/1 matrix realizing the stride-``bw/tbw`` lane pick
+    and the zero column halo in the same contraction. Row padding is
+    zero rows — identical to the spatial jnp.pad. Bit-exact vs the
+    spatial construction (asserted in tests/test_pallas_kernels.py)."""
+    tbw, tp1, fh, nbx = y8.shape
+    bw = block_w
+    assert bw % tbw == 0
+    m = bw // tbw
+    pad = bound_in + r
+    rowpad_b = -(-pad // block_h)
+    halo_b = -(-pad // bw)
+    row_pad = rowpad_b * block_h
+    lanes = (nbx // m) + 2 * halo_b
+
+    planes = []
+    for o in range(bw):
+        sel = jnp.asarray(
+            _pitched_cell_selector(m, nbx, lanes, halo_b, o // tbw),
+            jnp.bfloat16,
+        )
+        planes.append(
+            jnp.einsum(
+                "trx,xl->trl",
+                y8[o % tbw].astype(jnp.bfloat16),
+                sel,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint8)
+        )
+    q = jnp.stack(planes, axis=2)  # (T+1, fh, bw, lanes)
+    return jnp.pad(q, ((0, 0), (row_pad, row_pad), (0, 0), (0, 0)))
+
+
+def refine_mads_stack_pitched_pallas(
+    y8: jnp.ndarray,
+    mv_yx: jnp.ndarray,
+    r: int,
+    bound_in: int,
+    block_w: int,
+    block_h: int,
+) -> jnp.ndarray:
+    """:func:`refine_mads_stack_pallas` consuming column-pitched luma
+    subplanes directly (same contract and bit-identical SADs; the
+    spatial plane never materializes)."""
+    tbw, tp1, fh, nbx = y8.shape
+    fw = tbw * nbx
+    q = stack_cells_from_pitched(y8, block_w, r, bound_in, block_h)
+    return _refine_stack_call(
+        q, fh, fw, mv_yx, r, bound_in, block_w, block_h
+    )
+
+
+def _refine_stack_call(
+    q: jnp.ndarray,
+    fh: int,
+    fw: int,
+    mv_yx: jnp.ndarray,
+    r: int,
+    bound_in: int,
+    block_w: int,
+    block_h: int,
+) -> jnp.ndarray:
+    """Shared pallas_call tail of the stack refine (q already built)."""
+    tp1 = q.shape[0]
+    t = tp1 - 1
+    bw, bh = block_w, block_h
+    mfh, mfw = fh // bh, fw // bw
+    pad = bound_in + r
+    ncand = (2 * r + 1) ** 2
+    rows_out = ((ncand + 7) // 8) * 8
+
+    rowpad_b = -(-pad // bh)
+    halo_b = -(-pad // bw)
+    row_pad = rowpad_b * bh
+    col_pad = halo_b * bw
+    rpp = 2 if mfh % 2 == 0 else 1  # block rows per program
+    n_tiles = 2 * rowpad_b + rpp
+    lanes = mfw + 2 * halo_b
+    cw_cells = (2 * halo_b + 1) * bw
+
     compact = bh >= 16
     if not compact:
         cells = jnp.concatenate(
@@ -971,6 +1069,25 @@ def refine_mads_stack_pallas(
     )(
         *([q if compact else cells] * (n_tiles + rpp)),
         mv_yx.reshape(t, mfh, 2, 1, mfw),
+    )
+
+
+def pitched_refine_supported(
+    tbw: int,
+    mfh: int,
+    mfw: int,
+    block_w: int,
+    block_h: int,
+    r: int,
+    bound_in: int,
+) -> bool:
+    """Gate for :func:`refine_mads_stack_pitched_pallas`: the stack gate
+    plus the compact (bh >= 16) cell layout and a whole number of
+    subplane phases per MV block column."""
+    return (
+        stack_refine_supported(mfh, mfw, block_w, block_h, r, bound_in)
+        and block_h >= 16
+        and block_w % tbw == 0
     )
 
 

@@ -480,3 +480,156 @@ def pallas_pyr_mxu_banded_supported(h: int, w: int) -> bool:
         and w % 2 == 0
         and _col_tile(w // 2) > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Pitched-input MXU variant: consume the frontend's COLUMN-PITCHED luma
+# subplanes (ops/color.bgr_planes_to_y of the j-split de-interleave:
+# y8[j, t, r, bx] = Y_spatial[t, r, bx*bw + j]) directly.  The horizontal
+# filter matmul absorbs the un-pitch permutation for free: with
+# M = _filter_matrix(w) the spatial product X @ M decomposes EXACTLY as
+#
+#     hf = sum_j  Y_j @ M_j,      M_j[b, ow] = M[b*bw + j, ow]
+#
+# — same multiplies, same f32 accumulation structure per output element
+# up to addition order of exact integer terms, so results stay bit-exact
+# (uint8 and the taps are exact in bfloat16; horizontal sums <= 4080).
+# This deletes the ~0.6 ms/batch luma respatialize transpose that
+# previously materialized the spatial plane just to feed pyrDown
+# (models/encoder.py round-3 profile).  Vertical stage identical to
+# _pyr_mxu_kernel.
+# ---------------------------------------------------------------------------
+
+
+def _pyr_mxu_pitched_kernel(*refs, n_tiles, bw):
+    # refs: per j: (xp_j, x_j, xn_j) triplets; then m_js (bw matrices);
+    # out. x_j: (1, 1, 2*RT, nbx) uint8 main rows of subplane j; xp/xn:
+    # the 8-row blocks above/below (index-map clamped at frame edges,
+    # where reflect-101 rows come from the main block).
+    views = refs[: 3 * bw]
+    m_refs = refs[3 * bw : 4 * bw]
+    out_ref = refs[4 * bw]
+    _, _, rows, nbx = views[1].shape
+    out_w = m_refs[0].shape[1]
+    out_h = rows // 2
+    hp = rows + 4
+
+    i = pl.program_id(1)
+    last = n_tiles - 1
+
+    hf = None
+    for j in range(bw):
+        xp, xm_, xn = views[3 * j], views[3 * j + 1], views[3 * j + 2]
+        xm = xm_[0, 0]
+        above = [
+            jnp.where(i == 0, xm[2:3], xp[0, 0, 6:7]),
+            jnp.where(i == 0, xm[1:2], xp[0, 0, 7:8]),
+        ]
+        below = [
+            jnp.where(i == last, xm[rows - 2 : rows - 1], xn[0, 0, 0:1]),
+            jnp.where(i == last, xm[rows - 3 : rows - 2], xn[0, 0, 1:2]),
+        ]
+        x = jnp.concatenate(above + [xm] + below, axis=0)  # (hp, nbx)
+        xb = x.astype(jnp.int32).astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            xb,
+            m_refs[j][...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hf = p if hf is None else hf + p
+    hf = hf.astype(jnp.int32)  # (hp, out_w) exact ints <= 4080
+
+    half = hp // 2
+    pairs = hf.reshape(half, 2, out_w)
+    ev = pairs[:, 0, :]
+    ov = pairs[:, 1, :]
+    evc = ev[1 : out_h + 1]
+    evc2 = evc + evc
+    ovsum = ov[:out_h] + ov[1 : out_h + 1]
+    ovsum2 = ovsum + ovsum
+    v = (
+        ev[:out_h]
+        + (evc2 + evc2 + evc2)
+        + ev[2 : out_h + 2]
+        + (ovsum2 + ovsum2)
+    )
+    out_ref[0] = ((v + 128) >> 8).astype(jnp.uint8)
+
+
+@jax.jit
+def pyr_down_mxu_pitched_pallas(y8: jnp.ndarray) -> jnp.ndarray:
+    """One pyramid reduction of column-pitched ``(bw, T, H, W//bw)``
+    uint8 luma subplanes via the MXU; returns SPATIAL ``(T, H//2, W//2)``
+    planes, bit-exact vs ``pyr_down_mxu_pallas`` of the respatialized
+    input (asserted in tests/test_pallas_kernels.py)."""
+    import functools as _ft
+
+    import numpy as np
+
+    bw, t, h, nbx = y8.shape
+    w = bw * nbx
+    out_h, out_w = h // 2, w // 2
+    rt = _row_tile(out_h)
+    n_tiles = out_h // rt
+
+    m = _filter_matrix(w).astype(np.float32)
+    m_js = [
+        jnp.asarray(m[j::bw], jnp.bfloat16) for j in range(bw)
+    ]  # (nbx, out_w) each
+
+    nblk8 = h // 8
+    main_spec = lambda j: pl.BlockSpec(  # noqa: E731
+        (1, 1, 2 * rt, nbx),
+        _ft.partial(lambda jj, ti, i: (jj, ti, i, 0), j),
+        memory_space=pltpu.VMEM,
+    )
+    prev_spec = lambda j: pl.BlockSpec(  # noqa: E731
+        (1, 1, 8, nbx),
+        _ft.partial(
+            lambda jj, ti, i: (jj, ti, jnp.maximum(rt * i // 4 - 1, 0), 0),
+            j,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    next_spec = lambda j: pl.BlockSpec(  # noqa: E731
+        (1, 1, 8, nbx),
+        _ft.partial(
+            lambda jj, ti, i: (
+                jj, ti, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), 0
+            ),
+            j,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    m_spec = pl.BlockSpec(
+        (nbx, out_w), lambda ti, i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = []
+    for j in range(bw):
+        in_specs += [prev_spec(j), main_spec(j), next_spec(j)]
+    in_specs += [m_spec] * bw
+    return pl.pallas_call(
+        _ft.partial(_pyr_mxu_pitched_kernel, n_tiles=n_tiles, bw=bw),
+        grid=(t, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, rt, out_w), lambda ti, i: (ti, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, out_h, out_w), jnp.uint8),
+        interpret=(jax.default_backend() == "cpu"),
+    )(*([y8] * (3 * bw)), *m_js)
+
+
+def pallas_pyr_mxu_pitched_supported(
+    bw: int, h: int, w: int
+) -> bool:
+    """Gate for the pitched-input variant: the spatial MXU gate plus a
+    whole number of 8-row blocks (halo views index 8-row blocks of the
+    subplane stacks)."""
+    return (
+        pallas_pyr_mxu_supported(h, w)
+        and w % bw == 0
+        and h % 8 == 0
+    )
