@@ -130,39 +130,18 @@ class Encoder:
             )
         )
 
-        # pitched-luma motion frontend: pyramid level 1 and the
-        # base-level refine consume the j-split luma subplanes directly
-        # (see preprocess) — requires the pitched pyrDown and refine
-        # gates at this geometry plus a real pyramid (>= 2 levels, so
-        # EBMA runs on a downsampled spatial level)
+        # pitched-luma motion frontend (pyramid level 1 + base-level
+        # refine fed straight from the j-split luma subplanes; the
+        # spatial luma plane never materializes). Bit-exact and fully
+        # tested (tests/test_pitched_frontend.py), but OFF by default:
+        # measured on v5e at 1080p/16 it is a wash-to-loss — the q
+        # sublane stack (16-piece concat, 0.77 ms/batch) plus the
+        # explicit luma materialization (0.37) cost what the deleted
+        # respatialize (0.59) + refine plane prep (0.65) saved, and the
+        # single-dot q variant measured worse still (2.16 vs 1.67 ms
+        # standalone). Kept as the measured record + the building block
+        # for a future in-kernel q assembly.
         self._use_pitched_motion = False
-        if self._use_jsplit and cfg.pyr_lvl_count >= 2:
-            from svc_tpu.ops.motion_pallas import pitched_refine_supported
-            from svc_tpu.ops.pyramid_pallas import (
-                pallas_pyr_mxu_pitched_supported,
-            )
-
-            tbw = cfg.transform_block_w
-            factor = 1 << (cfg.pyr_lvl_count - 1)
-            top_range = cfg.mv_search_range // factor
-            bound = top_range
-            for _ in range(cfg.pyr_lvl_count - 1):
-                bound = 2 * bound + top_range
-            base_bound_in = (bound - top_range)  # bound_in at level 0
-            self._use_pitched_motion = (
-                pallas_pyr_mxu_pitched_supported(
-                    tbw, self.padded_h, self.padded_w
-                )
-                and pitched_refine_supported(
-                    tbw,
-                    self.mv_field_h,
-                    self.mv_field_w,
-                    cfg.mv_block_w,
-                    cfg.mv_block_h,
-                    top_range,
-                    base_bound_in,
-                )
-            )
 
         self.encode_pairs = self._build_encode_pairs()
         # the traceable batch step (public, for jit/sharding composition)

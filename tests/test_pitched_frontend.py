@@ -108,15 +108,14 @@ def test_encoder_pitched_frontend_bit_identity(h, w):
 
     enc = Encoder(cfg, VideoProperties(w, h, t + 1), batch_size=t)
     assert enc._use_jsplit
-    assert enc._use_pitched_motion, "gate must hold at this geometry"
+    # the pitched frontend is off by default (measured wash on v5e —
+    # see Encoder.__init__); force it on to pin its bit-identity
+    enc._use_pitched_motion = True
     keys = enc._keys(0, t)
     out_p = enc._encode_batch(frames, keys)
 
-    enc._use_pitched_motion = False
     enc_s = Encoder(cfg, VideoProperties(w, h, t + 1), batch_size=t)
-    enc_s._use_pitched_motion = False
-    # rebuild the traced program with the spatial frontend
-    enc_s.encode_pairs = enc_s._build_encode_pairs()
+    assert not enc_s._use_pitched_motion
     out_s = enc_s._encode_batch(frames, keys)
 
     for key in ("coeffs", "block_types", "mv_field", "foreground_mask"):
