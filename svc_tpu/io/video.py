@@ -6,6 +6,9 @@ output path) with dependency-gated readers/writers:
 
 * any container/codec via OpenCV's ``VideoCapture`` when ``cv2`` is
   importable (optional — the framework never uses OpenCV for compute),
+  or via an ``ffmpeg`` rawvideo pipe when the binary is on PATH (so
+  arbitrary containers need NO OpenCV at all; the last optional cv2
+  dependency is display GUI only),
 * ``.npy`` — a ``(frames, height, width, 3)`` uint8 BGR array,
 * ``.y4m`` — YUV4MPEG2 with C444 or Cmono colorspace (pure-Python parser),
 * ``.avi`` — uncompressed BI_RGB (rawvideo BGR24) AVI, read and written
@@ -22,6 +25,9 @@ reference consumes from OpenCV.
 from __future__ import annotations
 
 import dataclasses
+import json
+import shutil
+import subprocess
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -76,12 +82,17 @@ class VideoReader:
         elif path.endswith(".avi") and _is_raw_avi(path):
             self._y4m = _RawAviReader(path)  # same iterator contract
             self.props = self._y4m.props
-        else:
-            if not _HAS_CV2:
+        elif not _HAS_CV2:
+            if ffmpeg_available():
+                self._y4m = _FfmpegReader(path)  # same iterator contract
+                self.props = self._y4m.props
+            else:
                 raise RuntimeError(
-                    "failed to initialize video capturing: OpenCV (cv2) is "
-                    "not available; use a .npy or .y4m input instead"
+                    "failed to initialize video capturing: neither OpenCV "
+                    "(cv2) nor an ffmpeg binary is available; use a .npy, "
+                    ".y4m, or raw-BGR .avi input instead"
                 )
+        else:
             self._cap = cv2.VideoCapture(path)
             if not self._cap.isOpened():
                 raise RuntimeError("failed to initialize video capturing")
@@ -108,6 +119,85 @@ class VideoReader:
             self._cap.release()
         if self._y4m is not None:
             self._y4m.close()
+
+
+def ffmpeg_available() -> bool:
+    """True when both ``ffmpeg`` and ``ffprobe`` are on PATH."""
+    return (
+        shutil.which("ffmpeg") is not None
+        and shutil.which("ffprobe") is not None
+    )
+
+
+class _FfmpegReader:
+    """Arbitrary-container reader over an ``ffmpeg`` rawvideo pipe.
+
+    The OpenCV-free path to every codec ffmpeg can decode: geometry and
+    frame count come from ``ffprobe`` (packet count — container frame
+    metadata lies, exactly the case the encoder's header reconciliation
+    handles, models/encoder.py), pixels stream through
+    ``ffmpeg -i .. -f rawvideo -pix_fmt bgr24 -`` as the same uint8 BGR
+    rows ``cv::VideoCapture`` would produce (apps/encoder.cpp:192).
+    """
+
+    def __init__(self, path: str):
+        probe = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "v:0",
+                "-count_packets", "-show_entries",
+                "stream=width,height,nb_read_packets", "-of", "json",
+                path,
+            ],
+            capture_output=True,
+        )
+        if probe.returncode != 0:
+            raise RuntimeError(
+                "failed to initialize video capturing: "
+                + probe.stderr.decode(errors="replace").strip()
+            )
+        streams = json.loads(probe.stdout).get("streams") or []
+        if not streams:
+            raise RuntimeError(
+                "failed to initialize video capturing: no video stream"
+            )
+        info = streams[0]
+        w, h = int(info["width"]), int(info["height"])
+        n = int(info.get("nb_read_packets") or 0)
+        self.props = VideoProperties(frame_w=w, frame_h=h, frame_count=n)
+        self._shape = (h, w, 3)
+        self._frame_bytes = w * h * 3
+        self._proc = subprocess.Popen(
+            [
+                "ffmpeg", "-v", "error", "-i", path,
+                "-f", "rawvideo", "-pix_fmt", "bgr24", "-",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        assert self._proc.stdout is not None
+        while True:
+            chunks = []
+            need = self._frame_bytes
+            while need:
+                buf = self._proc.stdout.read(need)
+                if not buf:
+                    break
+                chunks.append(buf)
+                need -= len(buf)
+            if need:  # EOS (or truncated tail frame)
+                return
+            yield np.frombuffer(b"".join(chunks), np.uint8).reshape(
+                self._shape
+            )
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            self._proc.kill()
+        self._proc.wait()
+        if self._proc.stdout is not None:
+            self._proc.stdout.close()
 
 
 @dataclasses.dataclass

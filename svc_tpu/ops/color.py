@@ -17,10 +17,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# OpenCV fixed-point BT.601 luma weights, 14 fractional bits.
+# OpenCV fixed-point BT.601 weights, 14 fractional bits. The chroma
+# coefficients (B2U = round(0.492*2^14), R2V = round(0.877*2^14)) were
+# validated bit-exactly against cv2.cvtColor(BGR2YUV) over dense random
+# and corner sweeps (tests/test_image_ops.py).
 _R2Y = 4899
 _G2Y = 9617
 _B2Y = 1868
+_B2U = 8061
+_R2V = 14369
 _SHIFT = 14
 
 
@@ -39,6 +44,38 @@ def bgr_planes_to_y(
         + (1 << (_SHIFT - 1))
     ) >> _SHIFT
     return y.astype(jnp.uint8)
+
+
+def bgr_planes_to_yuv(
+    b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray
+):
+    """OpenCV-exact full BGR -> YUV from separate uint8 channel planes.
+
+    The reference materializes the full YUV frame and then extracts Y
+    (libs/encoder.cpp:468-469); the encoder pipeline computes Y only
+    (U/V are dead values there — see bgr_planes_to_y), but the full
+    conversion is part of the framework's public op surface. Matches
+    ``cv2.cvtColor(..., COLOR_BGR2YUV)`` bit for bit:
+
+        Y = (R*4899 + G*9617 + B*1868 + 2^13) >> 14
+        U = sat((B - Y)*8061  + 2^13) >> 14) + 128
+        V = sat((R - Y)*14369 + 2^13) >> 14) + 128
+
+    with saturate_cast clamping to [0, 255]. Returns ``(y, u, v)`` uint8
+    planes.
+    """
+    bi = b.astype(jnp.int32)
+    gi = g.astype(jnp.int32)
+    ri = r.astype(jnp.int32)
+    half = 1 << (_SHIFT - 1)
+    y = (ri * _R2Y + gi * _G2Y + bi * _B2Y + half) >> _SHIFT
+    u = ((bi - y) * _B2U + half) >> _SHIFT
+    v = ((ri - y) * _R2V + half) >> _SHIFT
+    return (
+        jnp.clip(y, 0, 255).astype(jnp.uint8),
+        jnp.clip(u + 128, 0, 255).astype(jnp.uint8),
+        jnp.clip(v + 128, 0, 255).astype(jnp.uint8),
+    )
 
 
 def bgr_to_y(frame_bgr: jnp.ndarray) -> jnp.ndarray:

@@ -39,6 +39,38 @@ class TestColor:
         got = np.asarray(bgr_to_y(jnp.asarray(img)))
         np.testing.assert_array_equal(got, expected)
 
+    def test_bgr_to_yuv_full_matches_opencv_grid(self):
+        from svc_tpu.ops.color import bgr_planes_to_yuv
+
+        # all (b, g, r) combos on a coarse grid plus edge values — the
+        # chroma channels saturate at the corners, so the grid pins the
+        # clamp semantics as well as the fixed-point arithmetic
+        vals = np.array([0, 1, 2, 63, 64, 127, 128, 200, 254, 255], np.uint8)
+        b, g, r = np.meshgrid(vals, vals, vals, indexing="ij")
+        bgr = np.stack([b, g, r], axis=-1).reshape(-1, 1, 3)
+        expected = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV)
+        y, u, v = bgr_planes_to_yuv(
+            jnp.asarray(bgr[..., 0]),
+            jnp.asarray(bgr[..., 1]),
+            jnp.asarray(bgr[..., 2]),
+        )
+        np.testing.assert_array_equal(np.asarray(y), expected[..., 0])
+        np.testing.assert_array_equal(np.asarray(u), expected[..., 1])
+        np.testing.assert_array_equal(np.asarray(v), expected[..., 2])
+
+    def test_bgr_to_yuv_full_matches_opencv_random(self):
+        from svc_tpu.ops.color import bgr_planes_to_yuv
+
+        img = _rand_bgr(128, 96)
+        expected = cv2.cvtColor(img, cv2.COLOR_BGR2YUV)
+        y, u, v = bgr_planes_to_yuv(
+            jnp.asarray(img[..., 0]),
+            jnp.asarray(img[..., 1]),
+            jnp.asarray(img[..., 2]),
+        )
+        got = np.stack([np.asarray(y), np.asarray(u), np.asarray(v)], -1)
+        np.testing.assert_array_equal(got, expected)
+
 
 class TestPad:
     def test_padded_dims_defaults(self):

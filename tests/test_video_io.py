@@ -6,6 +6,8 @@ BI_RGB without colorspace conversion), so its round trip must be bit-exact
 both through our own reader and through OpenCV/FFmpeg.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,3 +81,52 @@ class TestOtherContainers:
         err = np.abs(got.astype(int) - frames.astype(int))
         assert err.mean() < 1.5
         assert err.max() <= 4
+
+
+class TestFfmpegPipeReader:
+    """The OpenCV-free arbitrary-container path: VideoReader falls back
+    to an ffmpeg rawvideo pipe when cv2 is unavailable. The real binary
+    is absent on this box, so the pipe protocol is exercised against
+    stub ffmpeg/ffprobe executables that speak the same contract
+    (ffprobe JSON geometry + bgr24 rawvideo on stdout)."""
+
+    def _stub_tools(self, tmp_path, frames):
+        raw = tmp_path / "frames.raw"
+        raw.write_bytes(frames.tobytes())
+        t, h, w, _ = frames.shape
+        ffprobe = tmp_path / "ffprobe"
+        ffprobe.write_text(
+            "#!/bin/sh\n"
+            f"echo '{{\"streams\": [{{\"width\": {w}, \"height\": {h}, "
+            f"\"nb_read_packets\": \"{t}\"}}]}}'\n"
+        )
+        ffmpeg = tmp_path / "ffmpeg"
+        ffmpeg.write_text(f"#!/bin/sh\ncat {raw}\n")
+        for p in (ffprobe, ffmpeg):
+            p.chmod(0o755)
+        return str(tmp_path)
+
+    def test_pipe_reader_streams_frames(self, frames, tmp_path, monkeypatch):
+        import svc_tpu.io.video as video
+
+        monkeypatch.setenv(
+            "PATH", self._stub_tools(tmp_path, frames)
+            + os.pathsep + os.environ["PATH"]
+        )
+        monkeypatch.setattr(video, "_HAS_CV2", False)
+        assert video.ffmpeg_available()
+        reader = video.VideoReader(str(tmp_path / "clip.mkv"))
+        assert reader.props.frame_w == frames.shape[2]
+        assert reader.props.frame_h == frames.shape[1]
+        assert reader.props.frame_count == frames.shape[0]
+        got = np.stack(list(reader))
+        reader.close()
+        np.testing.assert_array_equal(got, frames)
+
+    def test_no_cv2_no_ffmpeg_error(self, tmp_path, monkeypatch):
+        import svc_tpu.io.video as video
+
+        monkeypatch.setattr(video, "_HAS_CV2", False)
+        monkeypatch.setattr(video, "ffmpeg_available", lambda: False)
+        with pytest.raises(RuntimeError, match="neither OpenCV"):
+            video.VideoReader(str(tmp_path / "clip.mkv"))
