@@ -459,7 +459,7 @@ def _make_wire_idct_kernel(
     bw: int,
     emit_u8: bool = False,
 ):
-    def kernel(u1_ref, u2_ref, ident_ref, c_ref, s_ref, si_ref, o_ref):
+    def kernel(u1_ref, u2_ref, ident_ref, c_ref, s_ref, o_ref):
         u1 = u1_ref[...]
         u2 = u2_ref[...]
         ident = ident_ref[...]
@@ -469,13 +469,7 @@ def _make_wire_idct_kernel(
             # arrive dense on LANES (a (nbx, 1)-shaped input would
             # tile-pad its lane axis 1 -> 128, 668 MB/batch at 1080p —
             # measured); the identity dot transposes the row onto
-            # sublanes exactly (HIGHEST keeps integer steps f32-exact).
-            # The divide is a PRECOMPUTED-reciprocal multiply: the
-            # reciprocal tensor is jnp-computed outside the kernel (the
-            # same expression the XLA fallback consumes, so both paths
-            # stay bit-identical to each other; semantics note in
-            # ops/quant.py) — an in-kernel broadcast divide ran the
-            # VPU's multi-op refinement per coefficient (~1.4 ms/batch)
+            # sublanes exactly (HIGHEST keeps integer steps f32-exact)
             rows = []
             for v in (0, 1):
                 c = c_ref[0, 2 * u + v]  # (nbx, C*n) f32
@@ -485,13 +479,7 @@ def _make_wire_idct_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (nbx, 1)
-                si = jax.lax.dot_general(
-                    ident, si_ref[0, 0, 2 * u + v : 2 * u + v + 1, :],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (nbx, 1)
-                y = c * si
+                y = c / s
                 rows.append(jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s)
             for ch in range(channels):
                 # two block rows of one channel on the contraction axis
@@ -561,19 +549,9 @@ def idct_wire_to_pitched_pallas(
     # block is illegal whenever r isn't 8-divisible — 4K's nby = 270
     # factors to r = 6)
     rp = ((r + 7) // 8) * 8
-    steps_f = steps.astype(jnp.float32)
     steps_grp = jnp.pad(
-        steps_f.reshape(t, nby // r, r, nbx),
+        steps.astype(jnp.float32).reshape(t, nby // r, r, nbx),
         ((0, 0), (0, 0), (0, rp - r), (0, 0)),
-    )
-    # reciprocal computed ONCE here (tiny per-block tensor) — the same
-    # jnp expression the XLA fallback's quantize() evaluates, so both
-    # decode paths consume identical values (see quant.py); pad rows
-    # are 1.0 so the inert pad dequant stays finite
-    steps_inv_grp = jnp.pad(
-        (1.0 / steps_f).reshape(t, nby // r, r, nbx),
-        ((0, 0), (0, 0), (0, rp - r), (0, 0)),
-        constant_values=1.0,
     )
     kernel = _make_wire_idct_kernel(
         channels, r // 2, n, nbx, block_h, block_w, emit_u8=emit_u8
@@ -601,10 +579,6 @@ def idct_wire_to_pitched_pallas(
                 (1, 1, rp, nbx), lambda ti, yi: (ti, yi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, rp, nbx), lambda ti, yi: (ti, yi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
         ],
         out_specs=pl.BlockSpec(
             (1, channels, r, block_h, block_w, nbx),
@@ -621,7 +595,6 @@ def idct_wire_to_pitched_pallas(
         jnp.eye(nbx, dtype=jnp.float32),
         coeffs,
         steps_grp,
-        steps_inv_grp,
     )
     return out.reshape(t, channels, nby * block_h, block_w, nbx)
 

@@ -26,21 +26,9 @@ def quantize(coeffs: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
 
     ``step`` broadcasts against ``coeffs`` (per-block steps are expanded by
     the caller).
-
-    The division is evaluated as a PRECOMPUTED-reciprocal multiply:
-    ``1/step`` is one tiny per-block op, while a broadcast divide runs a
-    multi-op reciprocal-refinement sequence per COEFFICIENT on the TPU
-    VPU (measured ~1.4 ms of the 16-frame 1080p decode batch in the
-    fused IDCT kernel). ``c * (1/s)`` can differ from ``c / s`` in the
-    last ulp, which flips the round() only when ``c/s`` sits within an
-    ulp of a half-integer — inside the decoded-frame gate vs the C++
-    reference (BASELINE.md: ±1 on isolated boundary pixels; the
-    reference divides). Both decode paths (this function and the fused
-    kernel, ops/dct_pallas.py) consume the same jnp-computed reciprocal
-    expression, so they remain bit-identical to EACH OTHER.
     """
     step = step.astype(coeffs.dtype)
-    return round_half_away(coeffs * (1.0 / step)) * step
+    return round_half_away(coeffs / step) * step
 
 
 def block_quant_steps(
