@@ -28,6 +28,7 @@ import dataclasses
 import json
 import shutil
 import subprocess
+import warnings
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -166,17 +167,21 @@ class _FfmpegReader:
         self.props = VideoProperties(frame_w=w, frame_h=h, frame_count=n)
         self._shape = (h, w, 3)
         self._frame_bytes = w * h * 3
+        # stderr is piped (not discarded) so a mid-stream decode failure
+        # is distinguishable from normal EOS; `-v error` keeps the
+        # stream far below pipe-buffer size, so no drain thread needed
         self._proc = subprocess.Popen(
             [
                 "ffmpeg", "-v", "error", "-i", path,
                 "-f", "rawvideo", "-pix_fmt", "bgr24", "-",
             ],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
 
     def __iter__(self) -> Iterator[np.ndarray]:
         assert self._proc.stdout is not None
+        delivered = 0
         while True:
             chunks = []
             need = self._frame_bytes
@@ -186,10 +191,38 @@ class _FfmpegReader:
                     break
                 chunks.append(buf)
                 need -= len(buf)
-            if need:  # EOS (or truncated tail frame)
+            if need:  # pipe ended: clean EOS or a decode failure?
+                self._check_eos(delivered, short_frame=bool(chunks))
                 return
+            delivered += 1
             yield np.frombuffer(b"".join(chunks), np.uint8).reshape(
                 self._shape
+            )
+
+    def _check_eos(self, delivered: int, short_frame: bool) -> None:
+        """Raise when ffmpeg exited nonzero (corrupt/truncated container)
+        or the pipe died mid-frame — a silent short stream would
+        otherwise encode fewer frames than the container advertises with
+        no diagnostic at all."""
+        rc = self._proc.wait()
+        err = b""
+        if self._proc.stderr is not None:
+            err = self._proc.stderr.read() or b""
+        if rc != 0 or short_frame:
+            detail = err.decode(errors="replace").strip()
+            raise RuntimeError(
+                f"ffmpeg decode failed after {delivered}/"
+                f"{self.props.frame_count} frames (exit code {rc}"
+                + (", truncated frame" if short_frame else "")
+                + (f"): {detail}" if detail else ")")
+            )
+        if delivered < self.props.frame_count:
+            warnings.warn(
+                f"ffmpeg delivered {delivered} frames but the container "
+                f"advertised {self.props.frame_count}; encoding the "
+                "shorter stream",
+                RuntimeWarning,
+                stacklevel=2,
             )
 
     def close(self) -> None:

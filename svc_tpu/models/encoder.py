@@ -479,6 +479,15 @@ class Encoder:
             lambda i: jax.random.fold_in(base, i)
         )(jnp.arange(start_index, start_index + count))
 
+    def encode_batch_staged(self, staged, first_anchor_index: int):
+        """Dispatch on frames already shipped via :meth:`stage_frames` —
+        the public half of the staged protocol ``stream_encode`` uses to
+        overlap H2D with compute. Key derivation is the one
+        :meth:`encode_batch` uses, kept here so a wrapper overriding
+        either entry point cannot silently skip it."""
+        keys = self._keys(first_anchor_index, self.batch_size)
+        return self._encode_batch(staged, keys)
+
     def encode_batch(self, frames_bgr: np.ndarray, first_anchor_index: int):
         """Run the jitted pipeline on ``(T+1, H, W, 3)`` uint8 frames."""
         n, h, w, c = frames_bgr.shape
@@ -598,12 +607,11 @@ def stream_encode(
 
     pending = None  # one batch in flight: fetch i while i+1 computes
 
-    # H2D staging one batch ahead of compute (single-chip batch protocol
-    # only; the sharded encoder distributes its own chunks)
-    use_staging = (
-        hasattr(enc, "stage_frames")
-        and hasattr(enc, "_encode_batch")
-        and hasattr(enc, "_keys")
+    # H2D staging one batch ahead of compute: any encoder exposing the
+    # public staged protocol (stage_frames + encode_batch_staged) —
+    # the single-chip Encoder and the mesh-sharded ShardedEncoder both do
+    use_staging = hasattr(enc, "stage_frames") and hasattr(
+        enc, "encode_batch_staged"
     )
     stager = None
     staged_meta = None  # (first_anchor_index, n_valid) of the staged batch
@@ -611,12 +619,11 @@ def stream_encode(
     def dispatch(arr_or_staged, first_index: int, n_valid: int, staged: bool):
         nonlocal pending
         if staged:
-            keys = enc._keys(first_index, enc.batch_size)
             if tracer is not None:
                 with tracer.span("device_dispatch", frames=n_valid):
-                    out = enc._encode_batch(arr_or_staged, keys)
+                    out = enc.encode_batch_staged(arr_or_staged, first_index)
             else:
-                out = enc._encode_batch(arr_or_staged, keys)
+                out = enc.encode_batch_staged(arr_or_staged, first_index)
         else:
             if tracer is not None:
                 with tracer.span("device_dispatch", frames=n_valid):

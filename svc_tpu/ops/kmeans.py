@@ -202,7 +202,12 @@ def _lloyd_attempt(
             _, sums, counts = _opencv_split_repair(
                 xt, mask, labels, sums, counts, k
             )
-            new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+            # cv::kmeans normalizes by reciprocal-multiply (scale =
+            # 1.f/count; center *= scale), not a divide — match it here
+            # too so the whole center chain is bit-identical
+            new_centers = (
+                sums * (1.0 / jnp.maximum(counts, 1.0))[:, None]
+            )
             shift2 = jnp.max(jnp.sum((new_centers - centers) ** 2, axis=-1))
             new_done = done | (shift2 <= epsilon**2)
             centers = jnp.where(done, centers, new_centers)
@@ -370,6 +375,7 @@ def kmeans_t_frames(
     to a vmap of the per-frame path (identical semantics).
     """
     from svc_tpu.ops.kmeans_pallas import (
+        _KPAD,
         lloyd_frame_group,
         lloyd_pallas_batched,
     )
@@ -429,22 +435,21 @@ def kmeans_t_frames(
                 features_t[s], mask[s], k, keys[s],
                 attempts=attempts, max_iter=max_iter, epsilon=epsilon,
             )
-            # match the batched kernel's (A, F, ...) part shape: the
-            # best attempt is already selected, so replicate it per
+            # match the batched kernel's (A, F, ...) part shapes and
+            # dtypes (labels stay int32; center pads come from _KPAD):
+            # the best attempt is already selected, so replicate it per
             # attempt slot with equal compactness (argmin picks slot 0)
             parts.append(
                 (
                     jnp.broadcast_to(
-                        jnp.where(mask[s], lab1, 0).astype(jnp.float32)[
-                            None, None, :
-                        ],
+                        jnp.where(mask[s], lab1, 0)[None, None, :],
                         (attempts, 1, n),
                     ),
                     jnp.broadcast_to(
-                        jnp.zeros((16, 128), jnp.float32)
+                        jnp.zeros((_KPAD, 128), jnp.float32)
                         .at[:k, :d]
                         .set(cen1)[None, None],
-                        (attempts, 1, 16, 128),
+                        (attempts, 1, _KPAD, 128),
                     ),
                     jnp.broadcast_to(cmp1[None, None], (attempts, 1)),
                 )

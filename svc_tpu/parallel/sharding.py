@@ -156,6 +156,39 @@ class ShardedEncoder:
             ]
         )
 
+    def _chunk_packed(self, packed: np.ndarray) -> np.ndarray:
+        """Halo-chunk already-packed ``(T+1, H, W*3)`` frames into
+        ``(n_devices, bpd+1, H, W*3)`` (see :meth:`chunk_frames`)."""
+        bpd = self.batch_per_device
+        return np.stack(
+            [
+                packed[d * bpd : d * bpd + bpd + 1]
+                for d in range(self.n_devices)
+            ]
+        )
+
+    def stage_frames(self, packed: np.ndarray):
+        """Ship packed ``(T+1, H, W*3)`` host frames onto the mesh,
+        pre-sharded along the frame axis — the staged half of the
+        ``stream_encode`` protocol, so the scale-out path overlaps its
+        H2D transfers with compute exactly like the single chip does
+        (the reference's reader thread, apps/encoder.cpp:125-149)."""
+        return jax.device_put(
+            self._chunk_packed(packed), self._chunk_sharding
+        )
+
+    def _sharded_keys(self, first_anchor_index: int):
+        return jax.device_put(
+            self.inner._keys(first_anchor_index, self.batch_size).reshape(
+                self.n_devices, self.batch_per_device
+            ),
+            self._chunk_sharding,
+        )
+
+    def encode_batch_staged(self, staged, first_anchor_index: int):
+        """Dispatch on chunks already staged via :meth:`stage_frames`."""
+        return self._sharded(staged, self._sharded_keys(first_anchor_index))
+
     def encode_batch(self, frames_bgr: np.ndarray, first_anchor_index: int):
         """Encode ``(T+1, H, W, 3)`` uint8 frames, ``T = batch_size``.
 
@@ -171,10 +204,4 @@ class ShardedEncoder:
         chunks = jax.device_put(
             self.chunk_frames(frames_bgr), self._chunk_sharding
         )
-        keys = jax.device_put(
-            self.inner._keys(first_anchor_index, t).reshape(
-                self.n_devices, self.batch_per_device
-            ),
-            self._chunk_sharding,
-        )
-        return self._sharded(chunks, keys)
+        return self._sharded(chunks, self._sharded_keys(first_anchor_index))

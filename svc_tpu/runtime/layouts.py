@@ -109,6 +109,22 @@ class PinnedDispatch:
 
     def __call__(self, *args):
         if not self._ensure_compiled(args):
+            # no AOT/layout introspection on this backend: the layout-
+            # pinned jit still runs, so device-resident arguments must
+            # still be normalized to the pinned format (the fallback
+            # Format) or the INVALID_ARGUMENT session-poisoning hazard
+            # resurfaces exactly here
+            import jax
+
+            def norm(i, a):
+                if i not in self._fallback or not isinstance(a, jax.Array):
+                    return a
+                try:
+                    return jax.device_put(a, self._fallback[i])
+                except Exception:
+                    return a  # backend without Format-targeted puts
+
+            args = tuple(norm(i, a) for i, a in enumerate(args))
             return self._jitted(*args)
         norm = [
             self._normalize(i, a) if i in self._canonical else a

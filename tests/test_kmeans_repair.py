@@ -83,7 +83,10 @@ def test_opencv_split_matches_cv2_center_chain(seed, max_count):
     ours = np.asarray(
         _emulate(xt, mask, jnp.asarray(labels0), k, updates)
     )
-    np.testing.assert_allclose(ours, cv_centers, rtol=0, atol=1e-4)
+    # exact: sums/counts are integer-valued f32 (exact), repair and
+    # normalization replicate cv's ops (incl. reciprocal-multiply), and
+    # the d=2 distance sum has a single evaluation order in f32
+    np.testing.assert_array_equal(ours, cv_centers)
 
 
 def test_opencv_split_fills_every_cluster():

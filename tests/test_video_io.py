@@ -130,3 +130,47 @@ class TestFfmpegPipeReader:
         monkeypatch.setattr(video, "ffmpeg_available", lambda: False)
         with pytest.raises(RuntimeError, match="neither OpenCV"):
             video.VideoReader(str(tmp_path / "clip.mkv"))
+
+    def test_midstream_decode_failure_raises(
+        self, frames, tmp_path, monkeypatch
+    ):
+        """A corrupt container (ffmpeg exits nonzero mid-stream) must
+        raise, not silently truncate the encode (a decode failure used to
+        be indistinguishable from normal EOS)."""
+        import svc_tpu.io.video as video
+
+        path = self._stub_tools(tmp_path, frames)
+        t, h, w, _ = frames.shape
+        nbytes = (t - 1) * h * w * 3  # one frame short, then die
+        (tmp_path / "ffmpeg").write_text(
+            "#!/bin/sh\n"
+            f"head -c {nbytes} {tmp_path}/frames.raw\n"
+            "echo 'moov atom not found' >&2\n"
+            "exit 1\n"
+        )
+        monkeypatch.setenv("PATH", path + os.pathsep + os.environ["PATH"])
+        monkeypatch.setattr(video, "_HAS_CV2", False)
+        reader = video.VideoReader(str(tmp_path / "clip.mkv"))
+        with pytest.raises(RuntimeError, match="moov atom"):
+            list(reader)
+        reader.close()
+
+    def test_short_clean_stream_warns(self, frames, tmp_path, monkeypatch):
+        """ffmpeg exiting 0 after fewer frames than the container
+        advertises is a warning (header reconciliation handles it), not
+        an error."""
+        import svc_tpu.io.video as video
+
+        path = self._stub_tools(tmp_path, frames)
+        t, h, w, _ = frames.shape
+        nbytes = (t - 1) * h * w * 3
+        (tmp_path / "ffmpeg").write_text(
+            f"#!/bin/sh\nhead -c {nbytes} {tmp_path}/frames.raw\n"
+        )
+        monkeypatch.setenv("PATH", path + os.pathsep + os.environ["PATH"])
+        monkeypatch.setattr(video, "_HAS_CV2", False)
+        reader = video.VideoReader(str(tmp_path / "clip.mkv"))
+        with pytest.warns(RuntimeWarning, match="advertised"):
+            got = list(reader)
+        assert len(got) == t - 1
+        reader.close()
