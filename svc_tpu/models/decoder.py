@@ -35,7 +35,9 @@ from svc_tpu.io import bitstream
 from svc_tpu.ops import interleave
 from svc_tpu.ops.dct import idct2_wire_to_planes_pitched
 from svc_tpu.ops.dct_pallas import (
+    idct_wire_resample_pallas,
     idct_wire_to_pitched_pallas,
+    pallas_wire_idct_resample_supported,
     pallas_wire_idct_supported,
 )
 from svc_tpu.ops.quant import block_quant_steps, quantize
@@ -225,6 +227,28 @@ class Decoder:
                 x0, _, _, x_ident = bilinear_axis_weights(
                     h.frame_w, nbx * tbw
                 )
+                # combined un-pitch + interleave: with the channel axis
+                # emitted just above (bw, nbx), each display row's source
+                # block (C, bw, nbx) is lane-contiguous, so the whole
+                # tail is ONE constant lane gather to packed (T, H, W*C)
+                # — replacing the separate un-pitch gather plus
+                # interleave einsum (measured 1.07 ms -> one gather at
+                # 1080p/16)
+                cidx = np.repeat(
+                    np.arange(channels, dtype=np.int32)[None, :],
+                    h.frame_w, axis=0,
+                ).reshape(-1)
+                jidx = np.repeat(col_map[0][x0], channels)
+                xidx = np.repeat(col_map[1][x0], channels)
+
+                def gather_packed(rows_u8):
+                    # one 3-axis gather over the minor (C, bw, nbx)
+                    # block — NOT a flatten-then-take: merging the
+                    # tile-padded (C, bw, nbx) minors into one lane axis
+                    # materializes a full relayout copy (measured
+                    # 0.62 ms/batch at 1080p)
+                    return rows_u8[:, :, cidx, jidx, xidx]
+
                 # the fused dequant + wire-IDCT kernel emits pitched
                 # planes in ONE batched call (the XLA path below pays
                 # mostly-zero (C*n, C*n) stage dots plus a full pitch
@@ -235,27 +259,41 @@ class Decoder:
                     # 4K): the display round/clip fuses into the IDCT
                     # kernel itself (u8 output, quarter the write
                     # traffic) and the "resize" disappears — only the
-                    # un-pitch gather remains
+                    # combined gather remains
                     rows_u8 = idct_wire_to_pitched_pallas(
-                        coeffs, steps, channels, tbh, tbw, emit_u8=True
-                    )  # (T, C, PH, bw, nbx) uint8
-                    planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
+                        coeffs, steps, channels, tbh, tbw,
+                        emit_u8=True, channel_minor=True,
+                    )  # (T, PH, C, bw, nbx) uint8
+                    return gather_packed(rows_u8)
                 elif x_ident:
                     # width-aligned geometry (frame_w == padded width —
                     # every mv-block-divisible width, incl. CIF/1080p):
                     # the column step is a pure un-pitch gather, so the
-                    # display round/clip commutes past it and fuses into
-                    # the row-resample kernel — uint8 from there on
-                    # (quarters the resample+gather traffic). The whole
-                    # batch goes down in one call: frames share the row
-                    # map, so the kernel batches them per grid step
+                    # display round/clip commutes past the gather and
+                    # the whole hot path — dequant, wire IDCT, row
+                    # resample, round/clip — fuses into ONE kernel whose
+                    # 2-row resample halo lives in a VMEM ring (the
+                    # unfused pair round-trips an 802 MB pitched float32
+                    # stack through HBM at 1080p/16)
+                    y0, y1, fy, _ = bilinear_axis_weights(h.frame_h, ph)
+                    if pallas_wire_idct_resample_supported(
+                        channels, nby, nbx, tbh, tbw, y0, y1, fy,
+                        h.frame_h,
+                    ):
+                        rows_u8 = idct_wire_resample_pallas(
+                            coeffs, steps, channels, tbh, tbw,
+                            y0, y1, fy, h.frame_h,
+                        )
+                        return gather_packed(rows_u8)
                     pitched = idct_wire_to_pitched_pallas(
-                        coeffs, steps, channels, tbh, tbw
-                    )  # (T, C, PH, bw, nbx) float32
+                        coeffs, steps, channels, tbh, tbw,
+                        channel_minor=True,
+                    )  # (T, PH, C, bw, nbx) float32
                     rows_u8 = resize_rows_pitched(
-                        pitched, h.frame_h, emit_u8=True
+                        pitched, h.frame_h, emit_u8=True,
+                        channel_minor=True,
                     )
-                    planes = rows_u8[..., col_map[0][x0], col_map[1][x0]]
+                    return gather_packed(rows_u8)
                 else:
                     pitched = idct_wire_to_pitched_pallas(
                         coeffs, steps, channels, tbh, tbw

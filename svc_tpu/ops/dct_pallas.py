@@ -458,6 +458,7 @@ def _make_wire_idct_kernel(
     bh: int,
     bw: int,
     emit_u8: bool = False,
+    channel_minor: bool = False,
 ):
     def kernel(u1_ref, u2_ref, ident_ref, c_ref, s_ref, o_ref):
         u1 = u1_ref[...]
@@ -510,7 +511,14 @@ def _make_wire_idct_kernel(
                             .astype(jnp.int32)
                             .astype(jnp.uint8)
                         )
-                    o_ref[0, ch, 2 * u + v] = val
+                    if channel_minor:
+                        # channel axis just above (bw, nbx): the display
+                        # tail then un-pitches AND interleaves in ONE
+                        # lane gather over the contiguous (C, bw, nbx)
+                        # minor block (models/decoder.py)
+                        o_ref[0, 2 * u + v, :, ch] = val
+                    else:
+                        o_ref[0, ch, 2 * u + v] = val
 
     return kernel
 
@@ -522,6 +530,7 @@ def idct_wire_to_pitched_pallas(
     block_h: int,
     block_w: int,
     emit_u8: bool = False,
+    channel_minor: bool = False,
 ) -> jnp.ndarray:
     """Fused dequantize + inverse blockwise DCT into column-pitched planes.
 
@@ -538,7 +547,10 @@ def idct_wire_to_pitched_pallas(
 
     Returns planes whose storage position ``(j, x)`` on the last two axes
     holds spatial column ``x*bw + j`` (see idct2_wire_to_planes_pitched's
-    ``col_map``).
+    ``col_map``). ``channel_minor`` moves the channel axis to just above
+    ``(bw, nbx)`` — ``(T, nby*bh, C, bw, nbx)`` — so the display tail can
+    un-pitch and interleave in a single lane gather over the contiguous
+    per-row ``(C, bw, nbx)`` block.
     """
     t, nby, nbx, cn = coeffs.shape
     n = block_h * block_w
@@ -554,13 +566,32 @@ def idct_wire_to_pitched_pallas(
         ((0, 0), (0, 0), (0, rp - r), (0, 0)),
     )
     kernel = _make_wire_idct_kernel(
-        channels, r // 2, n, nbx, block_h, block_w, emit_u8=emit_u8
+        channels, r // 2, n, nbx, block_h, block_w,
+        emit_u8=emit_u8, channel_minor=channel_minor,
     )
     out_dtype = jnp.uint8 if emit_u8 else jnp.float32
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
     mspec = pl.BlockSpec(
         (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
     )
+    if channel_minor:
+        out_spec = pl.BlockSpec(
+            (1, r, block_h, channels, block_w, nbx),
+            lambda ti, yi: (ti, yi, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (t, nby, block_h, channels, block_w, nbx), out_dtype
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (1, channels, r, block_h, block_w, nbx),
+            lambda ti, yi: (ti, 0, yi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (t, channels, nby, block_h, block_w, nbx), out_dtype
+        )
     out = pl.pallas_call(
         kernel,
         grid=(t, nby // r),
@@ -580,14 +611,8 @@ def idct_wire_to_pitched_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, channels, r, block_h, block_w, nbx),
-            lambda ti, yi: (ti, 0, yi, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (t, channels, nby, block_h, block_w, nbx), out_dtype
-        ),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=(jax.default_backend() == "cpu"),
     )(
         jnp.asarray(u1p),
@@ -596,6 +621,10 @@ def idct_wire_to_pitched_pallas(
         coeffs,
         steps_grp,
     )
+    if channel_minor:
+        return out.reshape(
+            t, nby * block_h, channels, block_w, nbx
+        )
     return out.reshape(t, channels, nby * block_h, block_w, nbx)
 
 
@@ -613,6 +642,320 @@ def pallas_wire_idct_supported(
     in_bytes = r * nbx * channels * n * 4
     out_bytes = channels * r * n * nbx * 4
     return in_bytes + out_bytes <= 6 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Inverse + display row-resample: the full decode hot path in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_wire_idct_resample_kernel(
+    channels: int,
+    pairs_per_step: int,
+    n: int,
+    nbx: int,
+    bh: int,
+    bw: int,
+    n_groups: int,
+    g_rows: int,
+):
+    def kernel(
+        a_ref, jmp_ref,  # SMEM per-chunk tables (n_out, g_rows//bh)
+        f_ref,  # VMEM per-row weights block (1, g_rows, 128)
+        u1_ref, u2_ref, ident_ref, c_ref, s_ref,
+        o_ref,
+        win_ref,  # (C, 2*g_rows + bh, bw, nbx) f32 sliding window
+    ):
+        yi = pl.program_id(1)
+        u1 = u1_ref[...]
+        u2 = u2_ref[...]
+        ident = ident_ref[...]
+
+        # ---- phase 1: slide the window one group (previous group moves
+        # to the front — unconditionally: the extra final step, when the
+        # output tile count equals the group count, emits a tile whose
+        # sources all live in the LAST group, which the slide moves to
+        # the front half), then IDCT block-row group yi into the back ----
+        for ch in range(channels):
+            win_ref[ch, 0:g_rows] = win_ref[ch, g_rows : 2 * g_rows]
+
+        @pl.when(yi < n_groups)
+        def _compute():
+            for u in range(pairs_per_step):
+                rows = []
+                for v in (0, 1):
+                    c = c_ref[0, 2 * u + v]  # (nbx, C*n) f32
+                    s = jax.lax.dot_general(
+                        ident, s_ref[0, 0, 2 * u + v : 2 * u + v + 1, :],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (nbx, 1)
+                    y = c / s
+                    rows.append(
+                        jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s
+                    )
+                for ch in range(channels):
+                    g = jnp.concatenate(
+                        [r[:, ch * n : (ch + 1) * n] for r in rows],
+                        axis=1,
+                    )  # (nbx, 2n)
+                    a = jax.lax.dot_general(
+                        g, u1, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    xt = jax.lax.dot_general(
+                        u2, a, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (2n, nbx)
+                    for v in (0, 1):
+                        val = xt[v * n : (v + 1) * n].reshape(bh, bw, nbx)
+                        row0 = g_rows + (2 * u + v) * bh
+                        win_ref[ch, row0 : row0 + bh] = val
+
+        # ---- phase 2: emit output tile yi-1 from the 2-group window.
+        # Within any bh-row output chunk the source-row drift jumps at
+        # most once (gated), so each chunk is ONE dynamic-start load of
+        # bh+2 window rows plus a two-candidate select — no per-row
+        # loads/stores
+        @pl.when(yi >= 1)
+        def _emit():
+            k = yi - 1
+            riota = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
+            for q in range(g_rows // bh):
+                a0 = a_ref[k, q]
+                after = riota >= jmp_ref[k, q]
+                fv = f_ref[0, q * bh : (q + 1) * bh, 0:1].reshape(
+                    bh, 1, 1
+                )
+                for ch in range(channels):
+                    w = win_ref[ch, pl.ds(a0, bh + 2)]
+                    top = jnp.where(after, w[1 : bh + 1], w[0:bh])
+                    bot = jnp.where(
+                        after, w[2 : bh + 2], w[1 : bh + 1]
+                    )
+                    v = top * (1.0 - fv) + bot * fv
+                    # display round/clip (f32 -> u8 via int32)
+                    v8 = (
+                        jnp.clip(jnp.round(v), 0.0, 255.0)
+                        .astype(jnp.int32)
+                        .astype(jnp.uint8)
+                    )
+                    o_ref[0, q * bh : (q + 1) * bh, ch] = v8
+
+    return kernel
+
+
+def _resample_loc_ext(
+    y0: np.ndarray, out_h: int, g_rows: int, n_out: int
+) -> np.ndarray:
+    """Per-output-row source positions in 2-group window coordinates,
+    linearly extended past ``out_h`` (pad rows of the tail tile — masked
+    off by the non-divisible output block, but the chunk drift pattern
+    must stay monotone; the boundary chunk's overhang reads land in the
+    window scratch's ``bh`` pad rows, selected with weight 0)."""
+    pad_rows = n_out * g_rows
+    rows = np.arange(pad_rows)
+    y_ext = np.where(
+        rows < out_h,
+        np.concatenate([y0, np.zeros(pad_rows - out_h, y0.dtype)]),
+        int(y0[out_h - 1]) + rows - (out_h - 1),
+    )
+    return y_ext - (rows // g_rows) * g_rows
+
+
+def idct_wire_resample_pallas(
+    coeffs: jnp.ndarray,
+    steps: jnp.ndarray,
+    channels: int,
+    block_h: int,
+    block_w: int,
+    y0: np.ndarray,
+    y1: np.ndarray,
+    fy: np.ndarray,
+    out_h: int,
+) -> jnp.ndarray:
+    """Fused dequantize + inverse wire DCT + bilinear row-resample +
+    display round/clip, in ONE pass over the wire coefficients.
+
+    The decode hot path (libs/decoder.cpp:128-149 then the display
+    resize :210) without the pitched float32 intermediate: the unfused
+    pipeline writes and re-reads the full (T, C, PH, bw, nbx) plane
+    stack between the IDCT and resample kernels — 802 MB per 16-frame
+    1080p batch against 401 MB of coefficients actually read. Here each
+    grid step inverse-transforms one block-row group into a two-slot
+    VMEM ring and emits the PREVIOUS display-row tile by lerping
+    dynamically indexed ring rows (the resample's 2-row halo never
+    leaves VMEM). Validity of the two-slot window is guaranteed by
+    :func:`pallas_wire_idct_resample_supported`: every output tile k
+    reads source rows inside groups {k, k+1} exactly when
+    ``y0[Y] >= Y`` (downscale) and the per-tile drift stays under one
+    group — true for every LCM-padded display geometry.
+
+    Returns channel-minor ``(T, out_h, C, bw, nbx)`` uint8; the display
+    tail is then a single lane gather (models/decoder.py).
+    """
+    t, nby, nbx, cn = coeffs.shape
+    n = block_h * block_w
+    r = _rows_per_step(nby)
+    assert r % 2 == 0
+    g_rows = r * block_h
+    in_h = nby * block_h
+    n_groups = nby // r
+    n_out = -(-out_h // g_rows)
+    n_steps = max(n_groups, n_out + 1)
+
+    # per-output-row source tables in window coordinates (the 2-group
+    # sliding window of tile k covers input rows [g*k, g*(k+2)) at
+    # positions [0, 2g)); pad rows of the tail tile (masked off by the
+    # non-divisible output block) replay the last real row with weight 0
+    pad_rows = n_out * g_rows
+    loc_ext = _resample_loc_ext(y0, out_h, g_rows, n_out)
+    fp = np.zeros(pad_rows, np.float32)
+    fp[:out_h] = fy
+    chunks = loc_ext.reshape(n_out, g_rows // block_h, block_h)
+    a_tab = chunks[:, :, 0].astype(np.int32)  # (n_out, chunks)
+    drift = chunks - (
+        chunks[:, :, :1] + np.arange(block_h)[None, None, :]
+    )
+    # chunks made entirely of pad rows (masked off by the non-divisible
+    # output block) read window row 0 with weight 0 — never a real output
+    full_pad = (
+        np.arange(pad_rows).reshape(n_out, -1, block_h)[:, :, 0] >= out_h
+    )
+    a_tab = np.where(full_pad, 0, a_tab)
+    real_drift = drift[~full_pad]
+    assert ((real_drift == 0) | (real_drift == 1)).all(), (
+        "idct_wire_resample_pallas called outside its drift gate"
+    )
+    # first in-chunk row whose source drifted by one (block_h if none)
+    jmp_tab = np.where(
+        drift.any(axis=2), np.argmax(drift == 1, axis=2), block_h
+    ).astype(np.int32)
+    jmp_tab = np.where(full_pad, block_h, jmp_tab).astype(np.int32)
+    f_tab = np.repeat(
+        fp.reshape(n_out, g_rows)[:, :, None], 128, axis=2
+    ).astype(np.float32)
+
+    rp = ((r + 7) // 8) * 8
+    steps_grp = jnp.pad(
+        steps.astype(jnp.float32).reshape(t, nby // r, r, nbx),
+        ((0, 0), (0, 0), (0, rp - r), (0, 0)),
+    )
+    u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
+    kernel = _make_wire_idct_resample_kernel(
+        channels, r // 2, n, nbx, block_h, block_w, n_groups, g_rows
+    )
+    mspec = pl.BlockSpec(
+        (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    grp_clamp = lambda ti, yi: (  # noqa: E731
+        ti, jnp.minimum(yi, n_groups - 1), 0, 0,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(t, n_steps),
+        in_specs=[
+            smem((n_out, g_rows // block_h), lambda ti, yi: (0, 0)),
+            smem((n_out, g_rows // block_h), lambda ti, yi: (0, 0)),
+            pl.BlockSpec(
+                (1, g_rows, 128),
+                lambda ti, yi: (jnp.maximum(yi - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            mspec,
+            mspec,
+            pl.BlockSpec(
+                (nbx, nbx), lambda ti, yi: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, r, nbx, cn), grp_clamp,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, rp, nbx),
+                lambda ti, yi: (ti, jnp.minimum(yi, n_groups - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g_rows, channels, block_w, nbx),
+            lambda ti, yi: (ti, jnp.maximum(yi - 1, 0), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        # rows = out_h exactly: the tail tile's pad rows are masked off
+        # by the non-divisible block (a caller-side [:, :out_h] slice
+        # materialized a 0.77 ms/batch copy at 1080p)
+        out_shape=jax.ShapeDtypeStruct(
+            (t, out_h, channels, block_w, nbx), jnp.uint8
+        ),
+        scratch_shapes=[
+            # 2 groups + bh pad rows (the fixed-size chunk load may
+            # overhang by up to bh-2 rows when its chunk has no drift
+            # jump; the overhang rows are never selected)
+            pltpu.VMEM(
+                (channels, 2 * g_rows + block_h, block_w, nbx),
+                jnp.float32,
+            ),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(
+        jnp.asarray(a_tab),
+        jnp.asarray(jmp_tab),
+        jnp.asarray(f_tab),
+        jnp.asarray(u1p),
+        jnp.asarray(u2p),
+        jnp.eye(nbx, dtype=jnp.float32),
+        coeffs,
+        steps_grp,
+    )
+    return out
+
+
+def pallas_wire_idct_resample_supported(
+    channels: int,
+    nby: int,
+    nbx: int,
+    block_h: int,
+    block_w: int,
+    y0: np.ndarray,
+    y1: np.ndarray,
+    fy: np.ndarray,
+    out_h: int,
+) -> bool:
+    """Gate for the fused resample kernel: the base IDCT gate, a true
+    downscale whose source never lags the output row (``y0[Y] >= Y``),
+    the standard clamp pattern, and every output tile's 2-row-halo
+    window inside its two ring groups."""
+    if not pallas_wire_idct_supported(channels, nby, nbx, block_h, block_w):
+        return False
+    r = _rows_per_step(nby)
+    g_rows = r * block_h
+    in_h = nby * block_h
+    if not (1 <= out_h <= in_h) or out_h != y0.shape[0]:
+        return False
+    # no bottom clamp anywhere: the kernel reads bot = top + 1
+    if not (y1 == y0 + 1).all() or int(y1[-1]) > in_h - 1:
+        return False
+    if (y0 < np.arange(out_h)).any():
+        return False
+    n_out = -(-out_h // g_rows)
+    for k in range(n_out):
+        lo = int(y0[k * g_rows])
+        hi = int(y1[min((k + 1) * g_rows, out_h) - 1])
+        if lo < k * g_rows or hi >= (k + 2) * g_rows:
+            return False
+    # at most one source-row drift step inside any bh-row output chunk
+    # (full-pad tail chunks are table-overridden, so exclude them)
+    pad_rows = n_out * g_rows
+    loc = _resample_loc_ext(y0, out_h, g_rows, n_out)
+    chunks = loc.reshape(-1, block_h)
+    real = np.arange(pad_rows).reshape(-1, block_h)[:, 0] < out_h
+    drift = chunks - (chunks[:, :1] + np.arange(block_h)[None, :])
+    drift = drift[real]
+    return bool(((drift == 0) | (drift == 1)).all())
 
 
 def pallas_wire_dct_supported(

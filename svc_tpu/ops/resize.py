@@ -49,7 +49,8 @@ def bilinear_axis_weights(out_n: int, in_n: int):
 
 
 def resize_rows_pitched(
-    img: jnp.ndarray, out_h: int, emit_u8: bool = False
+    img: jnp.ndarray, out_h: int, emit_u8: bool = False,
+    channel_minor: bool = False,
 ) -> jnp.ndarray:
     """Row-only bilinear resample of column-pitched planes
     ``(C, H, bw, nbx)`` (or a batched ``(T, C, H, bw, nbx)`` stack — pass
@@ -58,8 +59,11 @@ def resize_rows_pitched(
     rows — the vertical half of the decoder's display resize, for callers
     whose column step is a pure gather. ``emit_u8`` fuses the display
     round/clip (uint8 output, same round-half-even + clamp as the XLA
-    tail) — exact because gathering commutes with per-element rounding."""
-    h = img.shape[-3]
+    tail) — exact because gathering commutes with per-element rounding.
+    ``channel_minor`` takes/emits the batched ``(T, H, C, bw, nbx)``
+    order (single-gather display tail, models/decoder.py)."""
+    row_axis = -4 if channel_minor else -3
+    h = img.shape[row_axis]
     y0, y1, fy, y_ident = bilinear_axis_weights(out_h, h)
 
     def finish(x):
@@ -67,13 +71,18 @@ def resize_rows_pitched(
             return x
         return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
 
+    def row_gather(idx):
+        if channel_minor:
+            return img[..., idx, :, :, :]
+        return img[..., idx, :, :]
+
     if y_ident:
         if out_h == h:
             # true identity: indexing with an iota array would lower to
             # a full gather op (measured 3.9 ms/batch at 4K, where the
             # padded height equals the display height)
             return finish(img)
-        return finish(img[..., y0, :, :])
+        return finish(row_gather(y0))
     from svc_tpu.ops.resize_pallas import (
         resize_rows_pallas,
         rows_pallas_supported,
@@ -82,11 +91,11 @@ def resize_rows_pitched(
     if img.ndim in (4, 5) and rows_pallas_supported(
         y0, y1, fy, h, img.shape[-2] * img.shape[-1]
     ):
-        return resize_rows_pallas(img, y0, y1, fy, emit_u8=emit_u8)
-    f = fy.reshape(-1, 1, 1)
-    return finish(
-        img[..., y0, :, :] * (1 - f) + img[..., y1, :, :] * f
-    )
+        return resize_rows_pallas(
+            img, y0, y1, fy, emit_u8=emit_u8, channel_minor=channel_minor
+        )
+    f = fy.reshape((-1, 1, 1, 1) if channel_minor else (-1, 1, 1))
+    return finish(row_gather(y0) * (1 - f) + row_gather(y1) * f)
 
 
 def resize_bilinear(

@@ -49,7 +49,13 @@ def _base_rows(out_h: int, in_h: int) -> np.ndarray:
     return ((2 * ys + 1) * in_h - out_h) // (2 * out_h)
 
 
-def _make_kernel(rt: int, n_views: int, e_max: int, emit_u8: bool):
+def _make_kernel(
+    rt: int,
+    n_views: int,
+    e_max: int,
+    emit_u8: bool,
+    channel_minor: bool = False,
+):
     # per-row drift/weight tables sit in SMEM; each program reads its row
     # group by grid index. One program handles ALL frames of one (channel,
     # row tile): fat blocks keep the grid small — a per-frame grid ran
@@ -79,7 +85,10 @@ def _make_kernel(rt: int, n_views: int, e_max: int, emit_u8: bool):
                     .astype(jnp.int32)
                     .astype(jnp.uint8)
                 )
-            o_ref[:, 0, r] = v
+            if channel_minor:
+                o_ref[:, r, 0] = v
+            else:
+                o_ref[:, 0, r] = v
 
     return kernel
 
@@ -90,6 +99,7 @@ def resize_rows_pallas(
     y1: np.ndarray,
     fy: np.ndarray,
     emit_u8: bool = False,
+    channel_minor: bool = False,
 ) -> jnp.ndarray:
     """Row-resample ``(C, H, bw, nbx)`` or batched ``(T, C, H, bw, nbx)``
     float32 pitched planes to the same shape with ``out_h`` rows, with
@@ -102,12 +112,18 @@ def resize_rows_pallas(
     downstream blends in float (the decoder's pure-gather column step).
     Batched callers should pass the 5-D form directly rather than vmap:
     every frame shares the row map, so one fat grid step covers all
-    frames of a (channel, row-tile) pair.
+    frames of a (channel, row-tile) pair. ``channel_minor`` takes and
+    emits the ``(T, H, C, bw, nbx)`` axis order instead (the layout whose
+    display tail is a single lane gather, models/decoder.py).
     """
     batched = img.ndim == 5
     if not batched:
         img = img[None]
-    t, c, h, bw, nbx = img.shape
+    if channel_minor:
+        assert batched, "channel_minor expects the batched 5-D layout"
+        t, h, c, bw, nbx = img.shape
+    else:
+        t, c, h, bw, nbx = img.shape
     out_h = y0.shape[0]
     rt = _ROW_TILE
     out_pad = -(-out_h // rt) * rt
@@ -135,7 +151,9 @@ def resize_rows_pallas(
     e_max = int(e_tab.max())
     n_views = rt + e_max + 1
 
-    kernel = _make_kernel(rt, n_views, e_max, emit_u8)
+    kernel = _make_kernel(
+        rt, n_views, e_max, emit_u8, channel_minor=channel_minor
+    )
     out_dtype = jnp.uint8 if emit_u8 else jnp.float32
 
     # base(i) recomputes the SAME analytic row map as the host e table
@@ -144,7 +162,10 @@ def resize_rows_pallas(
     def make_view_map(d):
         def m(ci, i):
             base = ((2 * rt * i + 1) * h - out_h) // (2 * out_h)
-            return (0, ci, jnp.minimum(base + d, h - 1), 0, 0)
+            row = jnp.minimum(base + d, h - 1)
+            if channel_minor:
+                return (0, row, ci, 0, 0)
+            return (0, ci, row, 0, 0)
 
         return m
 
@@ -155,6 +176,24 @@ def resize_rows_pallas(
         for d in range(n_views)
     ]
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    if channel_minor:
+        out_spec = pl.BlockSpec(
+            (t, rt, 1, bw, nbx),
+            lambda ci, i: (0, i, ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (t, out_pad, c, bw, nbx), out_dtype
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (t, 1, rt, bw, nbx),
+            lambda ci, i: (0, ci, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (t, c, out_pad, bw, nbx), out_dtype
+        )
     out = pl.pallas_call(
         kernel,
         grid=(c, n_tiles),
@@ -163,20 +202,15 @@ def resize_rows_pallas(
             smem((n_tiles, rt), lambda ci, i: (0, 0)),
         ]
         + view_specs,
-        out_specs=pl.BlockSpec(
-            (t, 1, rt, bw, nbx),
-            lambda ci, i: (0, ci, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (t, c, out_pad, bw, nbx), out_dtype
-        ),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=(jax.default_backend() == "cpu"),
     )(
         jnp.asarray(e_tab.reshape(-1, rt)),
         jnp.asarray(f_tab.reshape(-1, rt)),
         *([img] * n_views),
-    )[:, :, :out_h]
+    )
+    out = out[:, :out_h] if channel_minor else out[:, :, :out_h]
     return out if batched else out[0]
 
 

@@ -45,6 +45,10 @@ GEOMETRIES = [
     (256, 64, 0, 0),
     (256, 56, 0, 8),
     (248, 64, 8, 0),
+    # multi-tile fused-resample geometry (4 output tiles, one
+    # non-divisible tail, drift jumps inside chunks — the 1080p shape
+    # class for the fused dequant+IDCT+resample kernel)
+    (256, 248, 0, 8),
 ]
 
 
