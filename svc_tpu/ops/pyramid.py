@@ -45,23 +45,18 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     # gated off on CPU where the interpreter would be slower than XLA)
     if img.ndim == 3 and jax.default_backend() != "cpu":
         from svc_tpu.ops.pyramid_pallas import (
-            pallas_pyr_mxu_banded_supported,
             pallas_pyr_mxu_supported,
             pallas_pyr_supported,
-            pyr_down_mxu_banded_pallas,
             pyr_down_mxu_pallas,
             pyr_down_pallas,
         )
 
         # MXU variant folds the reflect pad + stride-2 column filter into
-        # one selection-filter matmul (no XLA-side pad/gather prep);
-        # wide frames whose filter matrix won't fit use the column-tiled
-        # band variant (4K level 0: the VPU path's XLA-side reflect pad +
-        # stride-2 column gathers scalarized into ~18 ms/batch of copies)
+        # per-column-tile band matmuls (no XLA-side pad/gather prep —
+        # the VPU path's reflect pad + stride-2 column gathers
+        # scalarized into ~18 ms/batch of copies at 4K level 0)
         if pallas_pyr_mxu_supported(h, w):
             return pyr_down_mxu_pallas(img)
-        if pallas_pyr_mxu_banded_supported(h, w):
-            return pyr_down_mxu_banded_pallas(img)
         if pallas_pyr_supported(h, w):
             return pyr_down_pallas(img)
 

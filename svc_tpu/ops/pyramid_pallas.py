@@ -158,33 +158,60 @@ def pallas_pyr_supported(h: int, w: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _filter_matrix(w: int):
-    """(w, w//2) float32 horizontal pyrDown matrix, reflect-101 folded."""
+_CT = 128  # output-column tile width of the in-kernel banded dots
+
+
+def _col_windows(w: int):
+    """Static column tiling of one pyrDown: per output-column tile,
+    ``(src_lo, src_len, out_lo, out_len)``. The last tile may be narrow;
+    source windows clip to the frame (reflect-101 taps at the global
+    borders fold into the tile matrices instead)."""
+    out_w = w // 2
+    wins = []
+    j0 = 0
+    while j0 < out_w:
+        jn = min(_CT, out_w - j0)
+        lo = max(2 * j0 - 2, 0)
+        hi = min(2 * (j0 + jn) + 2, w)
+        wins.append((lo, hi - lo, j0, jn))
+        j0 += jn
+    return tuple(wins)
+
+
+def _band_filter_matrix(w: int, lo: int, klen: int, j0: int, jn: int):
+    """(klen, jn) float32 horizontal pyrDown band for output columns
+    [j0, j0+jn): the global filter matrix's rows [lo, lo+klen) x those
+    columns, reflect-101 folded at the frame borders. Dropping the
+    all-zero rows outside the band is exact (adding exact zeros), so the
+    tiled dot is bit-identical to the full (w, w//2) matrix dot."""
     import numpy as np
 
-    out_w = w // 2
-    m = np.zeros((w, out_w), np.float32)
+    m = np.zeros((klen, jn), np.float32)
     taps = (1.0, 4.0, 6.0, 4.0, 1.0)
-    for j in range(out_w):
+    for j in range(jn):
         for d in range(5):
-            c = 2 * j + d - 2  # source column, reflect-101 at borders
+            c = 2 * (j0 + j) + d - 2  # source col, reflect-101 borders
             if c < 0:
                 c = -c
             elif c >= w:
                 c = 2 * w - 2 - c
-            m[c, j] += taps[d]
+            m[c - lo, j] += taps[d]
     return m
 
 
-def _pyr_mxu_kernel(xp_ref, x_ref, xn_ref, m_ref, out_ref, *, n_tiles):
+def _pyr_mxu_kernel(xp_ref, x_ref, xn_ref, *refs, n_tiles, wins):
     # x: (1, 2*RT, W) uint8 main rows of the UNPADDED plane; xp/xn: the
     # 8-row blocks just above/below (index-map clamped at the frame edges,
     # where the reflect-101 border rows are synthesized from the main
-    # block instead); m: (W, OW) bf16 filter matrix. Reading the raw plane
-    # through three views replaces the (T, H+8, W) row-padded concat copy
-    # the previous version materialized in HBM (~0.3 ms/batch at 1080p).
+    # block instead); refs: one (klen, jn) bf16 band matrix per output
+    # column tile, then the output. The horizontal filter runs as one
+    # banded dot per column tile — the single full-width (W, W/2) matrix
+    # this replaced is 5/W dense, so its dot burned ~W/500x the needed
+    # MXU passes (measured 0.51 -> 0.16 ms per 17-frame 1080p level-1
+    # call); dropping exact-zero products keeps it bit-identical.
+    m_refs = refs[: len(wins)]
+    out_ref = refs[len(wins)]
     _, rows, w = x_ref.shape
-    out_w = m_ref.shape[1]
     out_h = rows // 2
     hp = rows + 4
 
@@ -206,12 +233,22 @@ def _pyr_mxu_kernel(xp_ref, x_ref, xn_ref, m_ref, out_ref, *, n_tiles):
     ]
     x = jnp.concatenate(above + [xm] + below, axis=0)
     xb = x.astype(jnp.int32).astype(jnp.bfloat16)
-    hf = jax.lax.dot_general(
-        xb,
-        m_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    hf_parts = []
+    for (lo, klen, _, _), m_ref in zip(wins, m_refs):
+        hf_parts.append(
+            jax.lax.dot_general(
+                xb[:, lo : lo + klen],
+                m_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    hf = (
+        hf_parts[0]
+        if len(hf_parts) == 1
+        else jnp.concatenate(hf_parts, axis=1)
     ).astype(jnp.int32)  # (hp, out_w) exact ints <= 4080
+    out_w = hf.shape[1]
 
     half = hp // 2
     pairs = hf.reshape(half, 2, out_w)
@@ -242,7 +279,14 @@ def pyr_down_mxu_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
     rt = _row_tile(out_h)
     n_tiles = out_h // rt
 
-    m = jnp.asarray(_filter_matrix(w).astype(np.float32), jnp.bfloat16)
+    wins = _col_windows(w)
+    ms = [
+        jnp.asarray(
+            _band_filter_matrix(w, lo, klen, j0, jn).astype(np.float32),
+            jnp.bfloat16,
+        )
+        for lo, klen, j0, jn in wins
+    ]
 
     # three views of the raw plane: an 8-row block above the tile, the
     # 2*rt main rows, and an 8-row block below; the above/below indices
@@ -263,223 +307,37 @@ def pyr_down_mxu_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
         lambda ti, i: (ti, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    m_spec = pl.BlockSpec(
-        (w, out_w), lambda ti, i: (0, 0), memory_space=pltpu.VMEM
-    )
+    m_specs = [
+        pl.BlockSpec(
+            (klen, jn), lambda ti, i: (0, 0), memory_space=pltpu.VMEM
+        )
+        for _, klen, _, jn in wins
+    ]
     return pl.pallas_call(
-        _ft.partial(_pyr_mxu_kernel, n_tiles=n_tiles),
+        _ft.partial(_pyr_mxu_kernel, n_tiles=n_tiles, wins=wins),
         grid=(t, n_tiles),
-        in_specs=[prev_spec, main_spec, next_spec, m_spec],
+        in_specs=[prev_spec, main_spec, next_spec] + m_specs,
         out_specs=pl.BlockSpec(
             (1, rt, out_w), lambda ti, i: (ti, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((t, out_h, out_w), jnp.uint8),
         interpret=(jax.default_backend() == "cpu"),
-    )(imgs, imgs, imgs, m)
+    )(imgs, imgs, imgs, *ms)
 
 
 def pallas_pyr_mxu_supported(h: int, w: int) -> bool:
-    """The VPU-kernel gate plus a VMEM bound on the filter matrix (the
-    full (w, w//2) bf16 matrix lives in VMEM: 4K's first reduction at
-    w=3840 needs 14.7 MB and uses the column-tiled variant below)."""
-    return (
-        pallas_pyr_supported(h, w)
-        and w % 2 == 0
-        and w * (w // 2) * 2 <= 8 * 1024 * 1024
+    """The VPU-kernel gate plus a VMEM bound: the input row slab plus
+    the banded tile matrices (~(2*CT+4)*CT*2 bytes each) must fit."""
+    if not (pallas_pyr_supported(h, w) and w % 2 == 0):
+        return False
+    rt = _row_tile(h // 2)
+    slab = 2 * rt * w  # uint8 main block
+    mats = sum(
+        klen * jn * 2 for _, klen, _, jn in _col_windows(w)
     )
+    return slab + mats <= 8 * 1024 * 1024
 
-
-# ---------------------------------------------------------------------------
-# Column-tiled (banded) MXU variant: frames too wide for the full filter
-# matrix (4K level 0, w = 3840: 14.7 MB) tile the OUTPUT columns instead.
-# Each (row tile, col tile) program reads a 2ct-wide slab of the raw plane
-# plus a 4-column boundary sliver and multiplies by ONE shared interior
-# band matrix (2ct+4, ct) — the reflect-101 column border is baked into
-# the boundary sliver on the XLA side (20 single-column slices per frame,
-# microscopic), so every tile shares the same weights. Replaces the VPU
-# path's reflect pad + stride-2 column gathers, which scalarized into
-# ~18 ms/batch of copies at 4K.
-# ---------------------------------------------------------------------------
-
-
-def _band_matrix(ct: int):
-    """(2ct+4, ct) interior horizontal pyrDown band: out col j (of the
-    tile) reads assembled cols [2j, 2j+5) with taps [1,4,6,4,1]."""
-    import numpy as np
-
-    m = np.zeros((2 * ct + 4, ct), np.float32)
-    taps = (1.0, 4.0, 6.0, 4.0, 1.0)
-    for j in range(ct):
-        for d in range(5):
-            m[2 * j + d, j] = taps[d]
-    return m
-
-
-def _col_tile(out_w: int) -> int:
-    """Largest 128-multiple divisor of ``out_w`` up to 512 (0 if none —
-    both the output block and the 2x input slab must stay 128-lane
-    aligned, so only 128-multiples are legal)."""
-    for ct in (512, 384, 256, 128):
-        if out_w % ct == 0:
-            return ct
-    return 0
-
-
-def _boundary_cols(imgs, ct: int, nct: int):
-    """(T, nct, H, 4) uint8: per col tile, the two columns left of it and
-    the two right of it, reflect-101 at the frame borders (the col-tile
-    axis leads so the kernel's blocks keep (rows, 4) as the tiled pair)."""
-    t, h, w = imgs.shape
-    cols = []
-    for ci in range(nct):
-        lo = 2 * ci * ct - 2
-        hi = 2 * (ci + 1) * ct
-        for c in (lo, lo + 1, hi, hi + 1):
-            cc = -c if c < 0 else (2 * w - 2 - c if c >= w else c)
-            cols.append(imgs[:, :, cc : cc + 1])
-    stacked = jnp.concatenate(cols, axis=2).reshape(t, h, nct, 4)
-    return jnp.swapaxes(stacked, 1, 2)  # (T, nct, H, 4)
-
-
-def _pyr_mxu_banded_kernel(
-    xp_ref, x_ref, xn_ref, bp_ref, b_ref, bn_ref, m_ref, out_ref,
-    *, n_tiles,
-):
-    # x: (1, 2*RT, 2ct) main slab; xp/xn: 8-row blocks above/below
-    # (clamped at frame edges, where reflect-101 rows come from the main
-    # block); b*: matching (rows, 1, 4) boundary slivers; m: (2ct+4, ct)
-    _, rows, w2 = x_ref.shape
-    ct = m_ref.shape[1]
-    out_h = rows // 2
-    hp = rows + 4
-
-    i = pl.program_id(1)
-
-    def asm(main, prev, nxt):
-        # reflect-101 rows at the frame edges, copied rows elsewhere —
-        # applied identically to the main slab and the boundary sliver
-        above = [
-            jnp.where(i == 0, main[2:3], prev[6:7]),
-            jnp.where(i == 0, main[1:2], prev[7:8]),
-        ]
-        last = n_tiles - 1
-        below = [
-            jnp.where(i == last, main[rows - 2 : rows - 1], nxt[0:1]),
-            jnp.where(i == last, main[rows - 3 : rows - 2], nxt[1:2]),
-        ]
-        return jnp.concatenate(above + [main] + below, axis=0)
-
-    xm = asm(x_ref[0], xp_ref[0], xn_ref[0])
-    bm = asm(b_ref[0, 0], bp_ref[0, 0], bn_ref[0, 0])  # (hp, 4)
-    x = jnp.concatenate(
-        [bm[:, 0:2], xm, bm[:, 2:4]], axis=1
-    )  # (hp, 2ct+4)
-    xb = x.astype(jnp.int32).astype(jnp.bfloat16)
-    hf = jax.lax.dot_general(
-        xb,
-        m_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # (hp, ct) exact ints <= 4080
-
-    half = hp // 2
-    pairs = hf.reshape(half, 2, ct)
-    ev = pairs[:, 0, :]
-    ov = pairs[:, 1, :]
-    evc = ev[1 : out_h + 1]
-    evc2 = evc + evc
-    ovsum = ov[:out_h] + ov[1 : out_h + 1]
-    ovsum2 = ovsum + ovsum
-    v = (
-        ev[:out_h]
-        + (evc2 + evc2 + evc2)
-        + ev[2 : out_h + 2]
-        + (ovsum2 + ovsum2)
-    )
-    out_ref[0] = ((v + 128) >> 8).astype(jnp.uint8)
-
-
-@jax.jit
-def pyr_down_mxu_banded_pallas(imgs: jnp.ndarray) -> jnp.ndarray:
-    """One pyramid reduction of wide ``(T, H, W)`` uint8 planes via the
-    MXU with column-tiled band matrices."""
-    import functools as _ft
-
-    import numpy as np
-
-    t, h, w = imgs.shape
-    out_h, out_w = h // 2, w // 2
-    rt = _row_tile(out_h)
-    ct = _col_tile(out_w)
-    n_tiles = out_h // rt
-    nct = out_w // ct
-
-    m = jnp.asarray(_band_matrix(ct).astype(np.float32), jnp.bfloat16)
-    bnd = _boundary_cols(imgs, ct, nct)
-
-    nblk8 = h // 8
-    main_spec = pl.BlockSpec(
-        (1, 2 * rt, 2 * ct),
-        lambda ti, i, ci: (ti, i, ci),
-        memory_space=pltpu.VMEM,
-    )
-    prev_spec = pl.BlockSpec(
-        (1, 8, 2 * ct),
-        lambda ti, i, ci: (ti, jnp.maximum(rt * i // 4 - 1, 0), ci),
-        memory_space=pltpu.VMEM,
-    )
-    next_spec = pl.BlockSpec(
-        (1, 8, 2 * ct),
-        lambda ti, i, ci: (
-            ti, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), ci
-        ),
-        memory_space=pltpu.VMEM,
-    )
-    bmain_spec = pl.BlockSpec(
-        (1, 1, 2 * rt, 4),
-        lambda ti, i, ci: (ti, ci, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    bprev_spec = pl.BlockSpec(
-        (1, 1, 8, 4),
-        lambda ti, i, ci: (ti, ci, jnp.maximum(rt * i // 4 - 1, 0), 0),
-        memory_space=pltpu.VMEM,
-    )
-    bnext_spec = pl.BlockSpec(
-        (1, 1, 8, 4),
-        lambda ti, i, ci: (
-            ti, ci, jnp.minimum(rt * (i + 1) // 4, nblk8 - 1), 0
-        ),
-        memory_space=pltpu.VMEM,
-    )
-    m_spec = pl.BlockSpec(
-        (2 * ct + 4, ct), lambda ti, i, ci: (0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    return pl.pallas_call(
-        _ft.partial(_pyr_mxu_banded_kernel, n_tiles=n_tiles),
-        grid=(t, n_tiles, nct),
-        in_specs=[
-            prev_spec, main_spec, next_spec,
-            bprev_spec, bmain_spec, bnext_spec, m_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rt, ct), lambda ti, i, ci: (ti, i, ci),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((t, out_h, out_w), jnp.uint8),
-        interpret=(jax.default_backend() == "cpu"),
-    )(imgs, imgs, imgs, bnd, bnd, bnd, m)
-
-
-def pallas_pyr_mxu_banded_supported(h: int, w: int) -> bool:
-    """Wide-frame gate: valid row AND column tilings."""
-    return (
-        pallas_pyr_supported(h, w)
-        and w % 2 == 0
-        and _col_tile(w // 2) > 0
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +345,7 @@ def pallas_pyr_mxu_banded_supported(h: int, w: int) -> bool:
 # subplanes (ops/color.bgr_planes_to_y of the j-split de-interleave:
 # y8[j, t, r, bx] = Y_spatial[t, r, bx*bw + j]) directly.  The horizontal
 # filter matmul absorbs the un-pitch permutation for free: with
-# M = _filter_matrix(w) the spatial product X @ M decomposes EXACTLY as
+# M = the full filter matrix (_band_filter_matrix over the whole width) the spatial product X @ M decomposes EXACTLY as
 #
 #     hf = sum_j  Y_j @ M_j,      M_j[b, ow] = M[b*bw + j, ow]
 #
@@ -573,7 +431,7 @@ def pyr_down_mxu_pitched_pallas(y8: jnp.ndarray) -> jnp.ndarray:
     rt = _row_tile(out_h)
     n_tiles = out_h // rt
 
-    m = _filter_matrix(w).astype(np.float32)
+    m = _band_filter_matrix(w, 0, w, 0, w // 2).astype(np.float32)
     m_js = [
         jnp.asarray(m[j::bw], jnp.bfloat16) for j in range(bw)
     ]  # (nbx, out_w) each

@@ -52,8 +52,28 @@ class TestPyrDownPallas:
         from svc_tpu.ops.pyramid_pallas import pallas_pyr_mxu_supported
 
         assert pallas_pyr_mxu_supported(1088, 1920)
-        # 4K first reduction: (3840, 1920) bf16 filter matrix > 8 MB
-        assert not pallas_pyr_mxu_supported(2176, 3840)
+        # 4K first reduction: the banded column tiling keeps the tile
+        # matrices + input slab inside VMEM (the old full (3840, 1920)
+        # bf16 filter matrix was 14.7 MB and forced a separate variant)
+        assert pallas_pyr_mxu_supported(2176, 3840)
+
+    def test_mxu_banded_columns_bit_exact(self):
+        # a width whose half is NOT a multiple of the column tile and a
+        # narrow tail tile: exercises the per-tile band matrices incl.
+        # border folding on both edges
+        from svc_tpu.ops.pyramid import pyr_down
+        from svc_tpu.ops.pyramid_pallas import (
+            pallas_pyr_mxu_supported,
+            pyr_down_mxu_pallas,
+        )
+
+        rng = np.random.default_rng(11)
+        imgs = rng.integers(0, 256, (2, 64, 1920)).astype(np.uint8)
+        assert pallas_pyr_mxu_supported(64, 1920)
+        got = np.asarray(pyr_down_mxu_pallas(jnp.asarray(imgs)))
+        # CPU backend: pyr_down takes the XLA reference path
+        ref = np.asarray(pyr_down(jnp.asarray(imgs)))
+        np.testing.assert_array_equal(got, ref)
 
 
 class TestStaticRefinePallas:
