@@ -130,6 +130,16 @@ class Encoder:
             )
         )
 
+        # DCT pad-skip (dct2_jsplit_to_wire_pallas padded_h: synthesize
+        # the pad block rows' coefficients as exact zeros instead of
+        # padding the planes) is OFF: measured at 1080p/16, deleting the
+        # 0.22 ms u8 plane pad moved XLA's layout transition onto the
+        # luma chain's int32 intermediates (+0.9 ms of copies) and
+        # slowed the DCT kernel's masked tail block (+0.08) — a net
+        # loss. The kernel capability stays (tested bit-identical,
+        # tests/test_dct.py::test_jsplit_pad_skip_bit_identical).
+        self._dct_pad_skip = False
+
         # pitched-luma motion frontend (pyramid level 1 + base-level
         # refine fed straight from the j-split luma subplanes; the
         # spatial luma plane never materializes). Bit-exact and fully
@@ -320,12 +330,15 @@ class Encoder:
             # layouts end to end (ops/dct_pallas.py); the einsum path is
             # the identical-algorithm fallback (ops/dct.py)
             if self._use_jsplit:
-                # planes arrive column-pitched (3, bw, T+1, PH, nbx)
+                # planes arrive column-pitched (3, bw, T+1, H, nbx);
+                # H is UNPADDED when _dct_pad_skip (pad block rows are
+                # synthesized as zero coefficients in-kernel)
                 coeffs = dct2_jsplit_to_wire_pallas(
                     planes,
                     cfg.transform_block_w,
                     cfg.transform_block_h,
                     frame_offset=1,
+                    padded_h=self.padded_h,
                 )
             elif pallas_wire_dct_supported(
                 3, self.padded_h, self.padded_w,
@@ -380,10 +393,12 @@ class Encoder:
             p = interleave.deinterleave_rows_jsplit(
                 packed_bgr, 3, tbw
             )  # (3, tbw, N, H, nbx) column-pitched subplanes
-            p = jnp.pad(
-                p, ((0, 0), (0, 0), (0, 0), (0, self.excess_h), (0, 0))
-            )  # bottom zero rows = pad_frame on every subplane
-            y8 = bgr_planes_to_y(p[0], p[1], p[2])  # (tbw, N, PH, nbx)
+            if not self._dct_pad_skip and self.excess_h:
+                p = jnp.pad(
+                    p,
+                    ((0, 0), (0, 0), (0, 0), (0, self.excess_h), (0, 0)),
+                )  # bottom zero rows = pad_frame on every subplane
+            y8 = bgr_planes_to_y(p[0], p[1], p[2])  # (tbw, N, ?, nbx)
             if self._use_pitched_motion:
                 # the spatial luma plane NEVER materializes: pyramid
                 # level 1 comes from the pitched-input pyrDown (its
@@ -405,8 +420,13 @@ class Encoder:
             # respatialize luma for the pyramid/motion stages: moving the
             # column phase j to the minor axis makes col = bx*tbw + j
             y = y8.transpose(1, 2, 3, 0).reshape(
-                n, self.padded_h, self.padded_w
+                n, y8.shape[2], self.padded_w
             )
+            if y.shape[1] != self.padded_h:
+                # pad-skip mode: only LUMA materializes the frame's zero
+                # pad band (Y of the zero pad is 0, bit-identical to
+                # padding before the convert)
+                y = jnp.pad(y, ((0, 0), (0, self.excess_h), (0, 0)))
             return p, tuple(build_pyramid(y, self.cfg.pyr_lvl_count))
         if interleave.lane_aligned(w):
             # selection-matmul de-interleave (ops/interleave.py): the

@@ -138,7 +138,14 @@ def _make_pair_kernel(
     nbx: int,
     bw_split: int = 0,
     rows_per_block: int = 0,
+    valid_nby: int = 0,
 ):
+    # valid_nby > 0: the input planes are UNPADDED (the frame's zero pad
+    # rows were never materialized); block rows >= valid_nby read garbage
+    # from the masked tail block and their coefficients are synthesized
+    # as the exact DCT-of-zeros (= zeros) instead. The row pairing is
+    # block-diagonal, so a garbage half-pair cannot leak into its real
+    # sibling's products.
     def kernel(*refs):
         m1_refs = refs[0:3]
         m2_ref = refs[3]
@@ -208,13 +215,20 @@ def _make_pair_kernel(
             )  # (C*nbx, 2n)
             zc = z.reshape(channels, nbx, 2 * n)
             for v in (0, 1):
-                o_ref[0, 2 * u + v] = jnp.concatenate(
+                row = jnp.concatenate(
                     [
                         zc[c, :, v * n : (v + 1) * n]
                         for c in range(channels)
                     ],
                     axis=1,
                 )
+                if valid_nby:
+                    rows_per_step = 2 * pairs_per_step
+                    block_row = (
+                        pl.program_id(1) * rows_per_step + 2 * u + v
+                    )
+                    row = jnp.where(block_row < valid_nby, row, 0.0)
+                o_ref[0, 2 * u + v] = row
 
     return kernel
 
@@ -335,6 +349,7 @@ def dct2_jsplit_to_wire_pallas(
     block_w: int,
     block_h: int,
     frame_offset: int = 0,
+    padded_h: int = 0,
 ) -> jnp.ndarray:
     """Forward blockwise DCT of column-pitched (j-split) uint8 planes
     ``(C, bw, T, H, nbx)`` (interleave.deinterleave_rows_jsplit) into wire
@@ -346,11 +361,25 @@ def dct2_jsplit_to_wire_pallas(
     The stage-1 weights are row-permuted to the (j*bh + i) sublane order
     the subplane concat produces; the 8 nonzero products per coefficient
     keep their K order, so coefficients are BIT-IDENTICAL to the spatial
-    kernel (asserted in tests/test_dct.py)."""
+    kernel (asserted in tests/test_dct.py).
+
+    ``padded_h > h`` declares UNPADDED input planes for a frame whose
+    zero pad band covers whole transform-block rows: the coefficient
+    grid spans ``padded_h`` but the pad block rows' coefficients are
+    synthesized as exact zeros in-kernel — the 100 MB/batch padded plane
+    copy never materializes (callers gate via
+    :func:`pallas_wire_dct_jsplit_supported` on the PADDED height and
+    ``h % block_h == 0``)."""
     c, bw_, tf, h, nbx = planes.shape
     assert bw_ == block_w
     t = tf - frame_offset
-    nby = h // block_h
+    valid_nby = 0
+    if padded_h and padded_h > h:
+        assert h % block_h == 0 and padded_h % block_h == 0
+        valid_nby = h // block_h
+        nby = padded_h // block_h
+    else:
+        nby = h // block_h
     n = block_h * block_w
     r = _rows_per_step(nby)
     assert r % 2 == 0, "j-split kernel requires an even rows-per-step"
@@ -360,7 +389,8 @@ def dct2_jsplit_to_wire_pallas(
     perm2 = np.concatenate([perm, perm + n])
     m1_terms = tuple(m[perm2] for m in t1p)
     kernel = _make_pair_kernel(
-        c, r // 2, n, nbx, bw_split=block_w, rows_per_block=block_h
+        c, r // 2, n, nbx, bw_split=block_w, rows_per_block=block_h,
+        valid_nby=valid_nby,
     )
     msz = 2 * n
     mspec = pl.BlockSpec(

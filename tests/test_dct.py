@@ -149,6 +149,27 @@ class TestWireDctPallas:
         got = dct2_jsplit_to_wire_pallas(jp, 8, 8, frame_offset=1)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_jsplit_pad_skip_bit_identical(self):
+        """Unpadded input + padded_h: the kernel synthesizes the pad
+        block rows' coefficients as exact zeros — bit-identical to
+        running on explicitly zero-padded planes."""
+        from svc_tpu.ops.dct_pallas import dct2_jsplit_to_wire_pallas
+        from svc_tpu.ops.interleave import deinterleave_rows_jsplit
+
+        rng = np.random.default_rng(8)
+        c, t, h, ph, w = 3, 3, 56, 64, 256  # one 8-row pad block band
+        frames = rng.integers(0, 256, (t, h, w, c), dtype=np.uint8)
+        packed = jnp.asarray(frames.reshape(t, h, w * c))
+        jp = deinterleave_rows_jsplit(packed, c, 8)  # (3, 8, t, h, nbx)
+        ref = dct2_jsplit_to_wire_pallas(
+            jnp.pad(jp, ((0, 0), (0, 0), (0, 0), (0, ph - h), (0, 0))),
+            8, 8, frame_offset=1,
+        )
+        got = dct2_jsplit_to_wire_pallas(
+            jp, 8, 8, frame_offset=1, padded_h=ph
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_encoder_jsplit_frontend_bit_identical(self):
         """End-to-end: an encoder on the j-split frontend (pitched
         de-interleave feeding the j-split DCT kernel, luma respatialized
