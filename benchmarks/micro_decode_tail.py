@@ -144,8 +144,22 @@ def main():
         ).astype(jnp.uint8)
         return out.reshape(t, hgt, w * c)
 
+    # H) f32 channel-minor pitched input (DENSE (8,128)-tiled, unlike
+    # the 4.27x-padded u8) -> 3-axis gather with the display round/clip
+    # fused into the consumer
+    h_in = put(
+        rng.standard_normal((t, hgt, c, bw, nbx)).astype(np.float32) * 60
+        + 128
+    )
+
+    @jax.jit
+    def tail_h(p):
+        g = p[:, :, cidx, jidx, xidx]
+        return jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)
+
     variants = [
         ("A unpitch+interleave (padded in)", tail_a, a_in),
+        ("H f32 gather + fused clip (dense in)", tail_h, h_in),
         ("B single 3-axis gather (padded in)", tail_b, b_in),
         ("C 4 gathers + merge (dense in)", tail_c, cd_in),
         ("E interleave gather (dense spatial)", tail_e, e_in),

@@ -372,6 +372,7 @@ class Decoder:
         payloads: Iterator[bytes],
         gazes: Optional[Iterator[Optional[Tuple[int, int]]]] = None,
         tracer=None,
+        stage_h2d: bool = True,
     ) -> Iterator[np.ndarray]:
         """Decode wire payloads into uint8 BGR frames.
 
@@ -384,7 +385,17 @@ class Decoder:
         after batch ``i+1`` has been enqueued, so the D2H transfer and the
         host-side parse of ``i+1`` ride alongside device compute — the
         batched analog of the reference decoder's reader-thread/decode
-        overlap (apps/decoder.cpp:55-88). ``tracer`` records
+        overlap (apps/decoder.cpp:55-88).
+
+        Host->device staging ALSO overlaps compute (``stage_h2d``, on the
+        single-chip pinned-layout path): each batch's wire coefficients —
+        by far the heaviest transfer, 401 MB/batch at 1080p/16 — are
+        shipped on a worker thread (runtime.staging.DoubleBufferedStager)
+        while the previous batch computes, so steady state is bounded by
+        ``max(H2D, compute, D2H)`` instead of their sum — the decoder
+        twin of the reference's reader thread (apps/decoder.cpp:55-88).
+        Output bytes are identical with staging on or off
+        (tests/test_pipeline.py). ``tracer`` records
         parse/dispatch/fetch spans (runtime.tracing.Tracer).
         """
         batch = self.batch_size
@@ -393,7 +404,14 @@ class Decoder:
         buf_g: List[Tuple[int, int, int, int]] = []
         pending = None  # one batch in flight: fetch i while i+1 computes
 
-        def dispatch():
+        def span(name, **kw):
+            if tracer is not None:
+                return tracer.span(name, **kw)
+            import contextlib
+
+            return contextlib.nullcontext()
+
+        def take_buffers():
             while len(buf_c) < batch:
                 buf_c.append(buf_c[-1])
                 buf_t.append(buf_t[-1])
@@ -402,7 +420,7 @@ class Decoder:
             # transfer writes the pinned coefficient layout directly
             # (a jnp.asarray here would land in XLA's default layout and
             # pay a full on-device relayout, see _layout_pins)
-            out = self._decode_batch(
+            args = (
                 np.stack(buf_c),
                 np.stack(buf_t),
                 np.asarray(buf_g, np.int32),
@@ -410,7 +428,7 @@ class Decoder:
             buf_c.clear()
             buf_t.clear()
             buf_g.clear()
-            return out
+            return args
 
         def fetch(done):
             out, n_valid = done
@@ -422,44 +440,64 @@ class Decoder:
                 -1,
             )
 
-        def run(n_valid: int):
+        def dispatch(coeffs_dev_or_host, types, rects, n_valid: int):
             nonlocal pending
-            if tracer is not None:
-                with tracer.span("device_dispatch", frames=n_valid):
-                    out = dispatch()
-            else:
-                out = dispatch()
+            with span("device_dispatch", frames=n_valid):
+                out = self._decode_batch(coeffs_dev_or_host, types, rects)
             prev, pending = pending, (out, n_valid)
             if prev is not None:
-                if tracer is not None:
-                    with tracer.span("device_fetch", frames=prev[1]):
-                        yield from fetch(prev)
-                else:
+                with span("device_fetch", frames=prev[1]):
                     yield from fetch(prev)
 
-        for payload in payloads:
-            if tracer is not None:
-                with tracer.span("parse"):
+        stager = None
+        staged_meta = None  # (types, rects, n_valid) of the staged batch
+        if stage_h2d and isinstance(self._decode_batch, PinnedDispatch):
+            from svc_tpu.runtime.staging import DoubleBufferedStager
+
+            stager = DoubleBufferedStager(self.stage_coeffs)
+
+        def run(n_valid: int):
+            nonlocal staged_meta
+            coeffs, types, rects = take_buffers()
+            if stager is not None:
+                if staged_meta is not None:
+                    staged = stager.collect()  # batch i-1's transfer
+                    meta = staged_meta
+                    stager.submit(coeffs)  # batch i streams H2D...
+                    staged_meta = (types, rects, n_valid)
+                    # ...while batch i-1 computes
+                    yield from dispatch(staged, *meta)
+                else:
+                    stager.submit(coeffs)
+                    staged_meta = (types, rects, n_valid)
+            else:
+                yield from dispatch(coeffs, types, rects, n_valid)
+
+        try:
+            for payload in payloads:
+                with span("parse"):
                     types, coeffs = bitstream.deserialize_frame_blocks(
                         payload, self.header
                     )
-            else:
-                types, coeffs = bitstream.deserialize_frame_blocks(
-                    payload, self.header
+                gaze = next(gazes, None) if gazes is not None else None
+                # merged trailing axis: free host view, dense device
+                # tiling
+                buf_c.append(
+                    coeffs.reshape(coeffs.shape[0], coeffs.shape[1], -1)
                 )
-            gaze = next(gazes, None) if gazes is not None else None
-            # merged trailing axis: free host view, dense device tiling
-            buf_c.append(coeffs.reshape(coeffs.shape[0], coeffs.shape[1], -1))
-            buf_t.append(types)
-            buf_g.append(self.padded_gaze_rect(gaze))
-            if len(buf_c) == batch:
-                yield from run(batch)
+                buf_t.append(types)
+                buf_g.append(self.padded_gaze_rect(gaze))
+                if len(buf_c) == batch:
+                    yield from run(batch)
 
-        if buf_c:
-            yield from run(len(buf_c))
-        if pending is not None:
-            if tracer is not None:
-                with tracer.span("device_fetch", frames=pending[1]):
+            if buf_c:
+                yield from run(len(buf_c))
+            if staged_meta is not None:
+                staged = stager.collect()
+                yield from dispatch(staged, *staged_meta)
+            if pending is not None:
+                with span("device_fetch", frames=pending[1]):
                     yield from fetch(pending)
-            else:
-                yield from fetch(pending)
+        finally:
+            if stager is not None:
+                stager.close()

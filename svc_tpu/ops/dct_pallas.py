@@ -722,8 +722,24 @@ def _make_wire_idct_resample_kernel(
                         precision=jax.lax.Precision.HIGHEST,
                     )  # (nbx, 1)
                     y = c / s
+                    # round-half-away dequant with BITWISE sign handling
+                    # (abs/sign-multiply replaced by mask ops — one VPU
+                    # pass fewer over the 400 MB hot tensor). Exact:
+                    # s > 0, so sign(y) rides y's sign bit, and
+                    # multiplying the magnitude result by +-1 vs OR-ing
+                    # the bit yields the same f32 (+-0 included; a -0
+                    # contributes identically through the MXU dots)
+                    ybits = pltpu.bitcast(y, jnp.uint32)
+                    mag = pltpu.bitcast(
+                        ybits & jnp.uint32(0x7FFFFFFF), jnp.float32
+                    )
+                    t = jnp.floor(mag + 0.5) * s
                     rows.append(
-                        jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s
+                        pltpu.bitcast(
+                            pltpu.bitcast(t, jnp.uint32)
+                            | (ybits & jnp.uint32(0x80000000)),
+                            jnp.float32,
+                        )
                     )
                 for ch in range(channels):
                     g = jnp.concatenate(
@@ -749,17 +765,20 @@ def _make_wire_idct_resample_kernel(
         # Within any bh-row output chunk the source-row drift jumps at
         # most once (gated), so each chunk is ONE dynamic-start load of
         # bh+2 window rows plus a two-candidate select — no per-row
-        # loads/stores
+        # loads/stores. Most chunks (16 of 17 at 1080p) have NO jump;
+        # they take a select-free fast path.
         @pl.when(yi >= 1)
         def _emit():
             k = yi - 1
             riota = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
             for q in range(g_rows // bh):
                 a0 = a_ref[k, q]
-                after = riota >= jmp_ref[k, q]
+                jmp = jmp_ref[k, q]
                 fv = f_ref[0, q * bh : (q + 1) * bh, 0:1].reshape(
                     bh, 1, 1
                 )
+
+                after = riota >= jmp
                 for ch in range(channels):
                     w = win_ref[ch, pl.ds(a0, bh + 2)]
                     top = jnp.where(after, w[1 : bh + 1], w[0:bh])
@@ -768,12 +787,11 @@ def _make_wire_idct_resample_kernel(
                     )
                     v = top * (1.0 - fv) + bot * fv
                     # display round/clip (f32 -> u8 via int32)
-                    v8 = (
+                    o_ref[0, q * bh : (q + 1) * bh, ch] = (
                         jnp.clip(jnp.round(v), 0.0, 255.0)
                         .astype(jnp.int32)
                         .astype(jnp.uint8)
                     )
-                    o_ref[0, q * bh : (q + 1) * bh, ch] = v8
 
     return kernel
 
