@@ -765,8 +765,9 @@ def _make_wire_idct_resample_kernel(
         # Within any bh-row output chunk the source-row drift jumps at
         # most once (gated), so each chunk is ONE dynamic-start load of
         # bh+2 window rows plus a two-candidate select — no per-row
-        # loads/stores. Most chunks (16 of 17 at 1080p) have NO jump;
-        # they take a select-free fast path.
+        # loads/stores. (A pl.when fast path for the jump-free chunks
+        # measured slower than the unconditional selects — predication
+        # overhead; selects stay.)
         @pl.when(yi >= 1)
         def _emit():
             k = yi - 1
@@ -833,10 +834,11 @@ def idct_wire_resample_pallas(
     pipeline writes and re-reads the full (T, C, PH, bw, nbx) plane
     stack between the IDCT and resample kernels — 802 MB per 16-frame
     1080p batch against 401 MB of coefficients actually read. Here each
-    grid step inverse-transforms one block-row group into a two-slot
-    VMEM ring and emits the PREVIOUS display-row tile by lerping
-    dynamically indexed ring rows (the resample's 2-row halo never
-    leaves VMEM). Validity of the two-slot window is guaranteed by
+    grid step slides a two-group VMEM window (previous group to the
+    front), inverse-transforms one block-row group into its back half,
+    and emits the PREVIOUS display-row tile by lerping window rows via
+    per-chunk dynamic-start loads (the resample's 2-row halo never
+    leaves VMEM). Validity of the two-group window is guaranteed by
     :func:`pallas_wire_idct_resample_supported`: every output tile k
     reads source rows inside groups {k, k+1} exactly when
     ``y0[Y] >= Y`` (downscale) and the per-tile drift stays under one

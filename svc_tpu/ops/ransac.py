@@ -86,13 +86,20 @@ def iter_count(params: RansacParams, max_hypotheses: int = 65536) -> int:
 
 @functools.partial(jax.jit, static_argnames=("subset_sz", "k"))
 def _ransac_core(
-    motion_field: jnp.ndarray,
+    f0: jnp.ndarray,
+    f1: jnp.ndarray,
     key: jnp.ndarray,
     inlier_thresh: jnp.ndarray,
     subset_sz: int,
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    n_points = motion_field.shape[0]
+    """Core over SPLIT components ``f0``/``f1`` (each ``(N,)``): a
+    combined (N, 2) field keeps a trailing axis of 2 that TPU tiling
+    pads to 128 lanes — every (k, N, 2) scoring intermediate would be
+    64x physical. Per-component math is lane-major throughout and sums
+    the two squared terms in the same order (``d0^2 + d1^2``), so
+    results are bit-identical to the combined form."""
+    n_points = f0.shape[0]
 
     if subset_sz == 1:
         idx = jax.random.randint(key, (k, 1), 0, n_points)
@@ -104,19 +111,20 @@ def _ransac_core(
             )
         )(keys)
 
-    # hypothesis models: subset means (k, 2)
-    gms = jnp.mean(motion_field[idx], axis=1)
+    # hypothesis models: subset means, per component (k,)
+    gm0 = jnp.mean(f0[idx], axis=1)
+    gm1 = jnp.mean(f1[idx], axis=1)
 
     # score all hypotheses at once: (k, N)
-    err2 = jnp.sum(
-        (gms[:, None, :] - motion_field[None, :, :]) ** 2, axis=-1
-    )
+    d0 = gm0[:, None] - f0[None, :]
+    d1 = gm1[:, None] - f1[None, :]
+    err2 = d0 * d0 + d1 * d1
     inliers = err2 < inlier_thresh**2
     counts = jnp.sum(inliers, axis=1)
 
     # ">=" keep rule: the LAST hypothesis attaining the max count wins
     best = (k - 1) - jnp.argmax(counts[::-1])
-    best_gm = gms[best]
+    best_gm = jnp.stack([gm0[best], gm1[best]])
     best_count = counts[best]
     best_mask = inliers[best]
     best_subset = idx[best]
@@ -125,14 +133,18 @@ def _ransac_core(
 
     # refit on inliers (masked mean); guard the degenerate empty case
     denom = jnp.maximum(best_count, 1).astype(jnp.float32)
-    refit_gm = (
-        jnp.sum(jnp.where(best_mask[:, None], motion_field, 0.0), axis=0)
-        / denom
+    refit_gm = jnp.stack(
+        [
+            jnp.sum(jnp.where(best_mask, f0, 0.0)) / denom,
+            jnp.sum(jnp.where(best_mask, f1, 0.0)) / denom,
+        ]
     )
     gm = jnp.where(degenerate, best_gm, refit_gm)
 
     # RMSE over inliers (refit case) or over the best subset (degenerate)
-    err2_final = jnp.sum((motion_field - gm) ** 2, axis=-1)
+    e0 = f0 - gm[0]
+    e1 = f1 - gm[1]
+    err2_final = e0 * e0 + e1 * e1
     rmse_inliers = jnp.sqrt(
         jnp.sum(jnp.where(best_mask, err2_final, 0.0)) / denom
     )
@@ -159,8 +171,13 @@ def estimate_global_motion_ransac(
       motion field's leading shape.
     """
     lead_shape = motion_field.shape[:-1]
-    field = motion_field.reshape(-1, 2)
-    n_points = field.shape[0]
+    # split components up front: a flattened (N, 2) field would carry a
+    # trailing axis of 2 through every scoring intermediate (padded to
+    # 128 lanes — 64x physical; the reshape alone measured 0.11 ms per
+    # 1080p batch)
+    f0 = motion_field[..., 0].reshape(-1)
+    f1 = motion_field[..., 1].reshape(-1)
+    n_points = f0.shape[0]
     if n_points < params.subset_sz:
         raise ValueError("motion field smaller than RANSAC subset size")
 
@@ -186,7 +203,8 @@ def estimate_global_motion_ransac(
         )
 
     gm, rmse, mask = _ransac_core(
-        field,
+        f0,
+        f1,
         key,
         jnp.float32(params.inlier_thresh),
         params.subset_sz,

@@ -89,3 +89,34 @@ def test_pallas_route_matches_xla_fallback(w, h, ew, eh, monkeypatch):
         diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1
         assert (diff > 0).mean() < 1e-3
+
+
+def test_two_kernel_fallback_route_matches_fused(monkeypatch):
+    """With the fused resample kernel gated off, the width-aligned route
+    falls back to the two-kernel path (channel-minor IDCT + channel-minor
+    row-resample + the same gather tail). Pin it against the fused route
+    at the display-byte level so the fallback cannot rot."""
+    from svc_tpu.models import decoder as dec_mod
+
+    w, h, ew, eh = 256, 248, 0, 8  # row-excess, multi-tile
+    hdr = _header(w, h, ew, eh)
+    t = 2
+    nby = hdr.padded_frame_h // 8
+    nbx = hdr.padded_frame_w // 8
+    rng = np.random.default_rng(42)
+    coeffs = (rng.normal(size=(t, nby, nbx, 192)) * 90).astype(np.float32)
+    btypes = rng.integers(0, 3, (t, nby, nbx)).astype(np.uint32)
+    rects = np.tile(np.array([[w // 4, h // 4, 64, 32]], np.int32), (t, 1))
+
+    dec = dec_mod.Decoder(DecoderConfig(), hdr, batch_size=t)
+    fused = np.asarray(dec._decode_batch(coeffs, btypes, rects))
+
+    monkeypatch.setattr(
+        dec_mod, "pallas_wire_idct_resample_supported", lambda *a: False
+    )
+    dec_fb = dec_mod.Decoder(DecoderConfig(), hdr, batch_size=t)
+    fallback = np.asarray(dec_fb._decode_batch(coeffs, btypes, rects))
+
+    diff = np.abs(fused.astype(np.int32) - fallback.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
