@@ -157,8 +157,48 @@ def main():
         g = p[:, :, cidx, jidx, xidx]
         return jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)
 
+    # I) merged-minor u8 (T, H, s=C*bw, nbx) with s = j*C + c (j-major):
+    # packed rows are then EXACTLY swapaxes(s, x) + minor flatten — one
+    # XLA transpose/relayout instead of a gather lowering
+    i_in = put(rng.integers(0, 256, (t, hgt, c * bw, nbx), np.uint8))
+
+    @jax.jit
+    def tail_i(p):
+        return jnp.swapaxes(p, 2, 3).reshape(t, hgt, w * c)
+
+    # J) merged-minor u8, s = c*bw + j (channel-major, what the fused
+    # kernel emits naturally) -> one 2-axis gather
+    sidx = cidx * bw + jidx
+
+    @jax.jit
+    def tail_j(p):
+        return p[:, :, sidx, xidx]
+
+    # I2) c-major merged minor -> split + 3-d minor transpose + flatten
+    # (does XLA fuse the double permutation into one relayout?)
+    @jax.jit
+    def tail_i2(p):
+        return (
+            p.reshape(t, hgt, c, bw, nbx)
+            .transpose(0, 1, 4, 3, 2)
+            .reshape(t, hgt, w * c)
+        )
+
+    # K) transposed-minor u8 (T, H, nbx, s) — what an in-kernel MXU
+    # identity-dot transpose would emit (lane axis 24 pads 5.3x) -> the
+    # tail is only the minor-pair flatten
+    k_in = put(rng.integers(0, 256, (t, hgt, nbx, c * bw), np.uint8))
+
+    @jax.jit
+    def tail_k(p):
+        return p.reshape(t, hgt, w * c)
+
     variants = [
         ("A unpitch+interleave (padded in)", tail_a, a_in),
+        ("I swapaxes+reshape (j-major merged in)", tail_i, i_in),
+        ("J 2-axis gather (merged-minor in)", tail_j, i_in),
+        ("I2 3d-transpose+flatten (c-major in)", tail_i2, i_in),
+        ("K minor flatten (transposed-minor in)", tail_k, k_in),
         ("H f32 gather + fused clip (dense in)", tail_h, h_in),
         ("B single 3-axis gather (padded in)", tail_b, b_in),
         ("C 4 gathers + merge (dense in)", tail_c, cd_in),

@@ -283,8 +283,16 @@ class Decoder:
                         rows_u8 = idct_wire_resample_pallas(
                             coeffs, steps, channels, tbh, tbw,
                             y0, y1, fy, h.frame_h,
+                        )  # (T, H, bw*C, nbx) — j-major merged minor
+                        # packed rows = swapaxes + minor flatten: the
+                        # j-major merged layout makes the display tail
+                        # ONE XLA relayout (0.71 ms/batch vs 1.36 for
+                        # every gather variant measured —
+                        # benchmarks/micro_decode_tail.py)
+                        return jnp.swapaxes(rows_u8, 2, 3).reshape(
+                            rows_u8.shape[0], h.frame_h,
+                            h.frame_w * channels,
                         )
-                        return gather_packed(rows_u8)
                     pitched = idct_wire_to_pitched_pallas(
                         coeffs, steps, channels, tbh, tbw,
                         channel_minor=True,

@@ -692,7 +692,7 @@ def _make_wire_idct_resample_kernel(
     def kernel(
         a_ref, jmp_ref,  # SMEM per-chunk tables (n_out, g_rows//bh)
         f_ref,  # VMEM per-row weights block (1, g_rows, 128)
-        u1_ref, u2_ref, ident_ref, c_ref, s_ref,
+        u1_ref, u2_ref, ident_ref, perm_ref, c_ref, s_ref,
         o_ref,
         win_ref,  # (C, 2*g_rows + bh, bw, nbx) f32 sliding window
     ):
@@ -768,6 +768,26 @@ def _make_wire_idct_resample_kernel(
         # loads/stores. (A pl.when fast path for the jump-free chunks
         # measured slower than the unconditional selects — predication
         # overhead; selects stay.)
+        #
+        # Channels interleave into the SUBLANE axis before the u8
+        # convert, J-MAJOR (s = j*C + c): the merged (bw*C, nbx) output
+        # minor pair tile-pads 1.42x (24->32 sublanes) instead of the
+        # channel-separated (C, bw, nbx) layout's 4.27x (8->32 per
+        # channel) — 285 MB less write traffic per 1080p/16 batch —
+        # and in j-major order the packed display row is EXACTLY
+        # swapaxes(s, x) + minor flatten, ONE XLA relayout at
+        # 0.71 ms/batch vs the 3-axis gather's 1.36
+        # (benchmarks/micro_decode_tail.py variants I vs B/J).
+        #
+        # The interleave itself rides the MXU: round/clip FIRST (it
+        # commutes with a permutation), making every value an exact
+        # 0..255 integer, then one bf16 0/1-permutation-matrix dot
+        # reorders the chunk's (C*bh*bw) sublanes in a single pass —
+        # exact, since small integers are bf16-representable and each
+        # output row has exactly one nonzero product. (VPU routes
+        # measured: stack(axis=2)+reshape relayout +1.7 ms/batch,
+        # sublane repeat+select +2.4 — cross-register sublane shuffles
+        # don't vectorize; the MXU does them for ~0.2 ms.)
         @pl.when(yi >= 1)
         def _emit():
             k = yi - 1
@@ -780,19 +800,37 @@ def _make_wire_idct_resample_kernel(
                 )
 
                 after = riota >= jmp
+                vals = []
                 for ch in range(channels):
                     w = win_ref[ch, pl.ds(a0, bh + 2)]
                     top = jnp.where(after, w[1 : bh + 1], w[0:bh])
                     bot = jnp.where(
                         after, w[2 : bh + 2], w[1 : bh + 1]
                     )
-                    v = top * (1.0 - fv) + bot * fv
-                    # display round/clip (f32 -> u8 via int32)
-                    o_ref[0, q * bh : (q + 1) * bh, ch] = (
-                        jnp.clip(jnp.round(v), 0.0, 255.0)
-                        .astype(jnp.int32)
-                        .astype(jnp.uint8)
+                    vals.append(
+                        # display round/clip, pre-permutation
+                        jnp.clip(
+                            jnp.round(top * (1.0 - fv) + bot * fv),
+                            0.0,
+                            255.0,
+                        )
                     )
+                if channels == 1:
+                    v = vals[0]
+                else:
+                    stackc = jnp.concatenate(
+                        [x.reshape(bh * bw, nbx) for x in vals],
+                        axis=0,
+                    )  # (C*bh*bw, nbx), rows c*n + r*bw + j — free
+                    v = jax.lax.dot_general(
+                        perm_ref[...],
+                        stackc.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(bh, bw * channels, nbx)
+                o_ref[0, q * bh : (q + 1) * bh] = v.astype(
+                    jnp.int32
+                ).astype(jnp.uint8)
 
     return kernel
 
@@ -844,8 +882,13 @@ def idct_wire_resample_pallas(
     ``y0[Y] >= Y`` (downscale) and the per-tile drift stays under one
     group — true for every LCM-padded display geometry.
 
-    Returns channel-minor ``(T, out_h, C, bw, nbx)`` uint8; the display
-    tail is then a single lane gather (models/decoder.py).
+    Returns merged-minor ``(T, out_h, bw*C, nbx)`` uint8, J-MAJOR:
+    position ``(j*C + c, x)`` holds channel ``c`` of spatial column
+    ``x*bw + j``. Packed display rows ``(T, out_h, W*C)`` are then
+    exactly ``swapaxes(-1, -2)`` + a minor flatten — one XLA relayout
+    (0.71 ms/batch at 1080p/16 vs 1.36 for any gather-based tail,
+    benchmarks/micro_decode_tail.py), and the merged 24-sublane minor
+    tile-pads 1.42x vs the channel-separated layout's 4.27x.
     """
     t, nby, nbx, cn = coeffs.shape
     n = block_h * block_w
@@ -895,6 +938,16 @@ def idct_wire_resample_pallas(
         ((0, 0), (0, 0), (0, rp - r), (0, 0)),
     )
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
+    # sublane j-major interleave permutation for the in-kernel MXU dot:
+    # out row r*bw*C + j*C + c <- in row c*n + r*bw + j
+    perm_np = np.zeros((n * channels, channels * n), np.float32)
+    for c_i in range(channels):
+        for r_i in range(block_h):
+            for j_i in range(block_w):
+                perm_np[
+                    r_i * block_w * channels + j_i * channels + c_i,
+                    c_i * n + r_i * block_w + j_i,
+                ] = 1.0
     kernel = _make_wire_idct_resample_kernel(
         channels, r // 2, n, nbx, block_h, block_w, n_groups, g_rows
     )
@@ -922,6 +975,10 @@ def idct_wire_resample_pallas(
                 (nbx, nbx), lambda ti, yi: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (n * channels, channels * n), lambda ti, yi: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, r, nbx, cn), grp_clamp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -931,15 +988,15 @@ def idct_wire_resample_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, g_rows, channels, block_w, nbx),
-            lambda ti, yi: (ti, jnp.maximum(yi - 1, 0), 0, 0, 0),
+            (1, g_rows, channels * block_w, nbx),
+            lambda ti, yi: (ti, jnp.maximum(yi - 1, 0), 0, 0),
             memory_space=pltpu.VMEM,
         ),
         # rows = out_h exactly: the tail tile's pad rows are masked off
         # by the non-divisible block (a caller-side [:, :out_h] slice
         # materialized a 0.77 ms/batch copy at 1080p)
         out_shape=jax.ShapeDtypeStruct(
-            (t, out_h, channels, block_w, nbx), jnp.uint8
+            (t, out_h, channels * block_w, nbx), jnp.uint8
         ),
         scratch_shapes=[
             # 2 groups + bh pad rows (the fixed-size chunk load may
@@ -958,6 +1015,7 @@ def idct_wire_resample_pallas(
         jnp.asarray(u1p),
         jnp.asarray(u2p),
         jnp.eye(nbx, dtype=jnp.float32),
+        jnp.asarray(perm_np, dtype=jnp.bfloat16),
         coeffs,
         steps_grp,
     )
