@@ -359,23 +359,28 @@ def pallas_pyr_mxu_supported(h: int, w: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _pyr_mxu_pitched_kernel(*refs, n_tiles, bw):
-    # refs: per j: (xp_j, x_j, xn_j) triplets; then m_js (bw matrices);
-    # out. x_j: (1, 1, 2*RT, nbx) uint8 main rows of subplane j; xp/xn:
-    # the 8-row blocks above/below (index-map clamped at frame edges,
-    # where reflect-101 rows come from the main block).
+def _pyr_mxu_pitched_kernel(*refs, n_tiles, bw, wins_b):
+    # refs: per j: (xp_j, x_j, xn_j) triplets; then one (bw, K, jn) bf16
+    # band stack per output-column window (round 5: the former full
+    # (nbx, out_w) per-j matrices were ~1/out_w dense — banding the
+    # per-j dots the same way as the spatial kernel cuts the MXU passes
+    # ~7x; zero-padded band rows add exact zeros, and every sum is an
+    # integer <= 4080, exact in f32 in any order); then out. x_j:
+    # (1, 1, 2*RT, nbx) uint8 main rows of subplane j; xp/xn: the 8-row
+    # blocks above/below (index-map clamped at frame edges, where
+    # reflect-101 rows come from the main block). wins_b: per window,
+    # (out_lo, out_len, K, per-j lane starts).
     views = refs[: 3 * bw]
-    m_refs = refs[3 * bw : 4 * bw]
-    out_ref = refs[4 * bw]
+    m_refs = refs[3 * bw : 3 * bw + len(wins_b)]
+    out_ref = refs[3 * bw + len(wins_b)]
     _, _, rows, nbx = views[1].shape
-    out_w = m_refs[0].shape[1]
     out_h = rows // 2
     hp = rows + 4
 
     i = pl.program_id(1)
     last = n_tiles - 1
 
-    hf = None
+    xbs = []
     for j in range(bw):
         xp, xm_, xn = views[3 * j], views[3 * j + 1], views[3 * j + 2]
         xm = xm_[0, 0]
@@ -388,15 +393,26 @@ def _pyr_mxu_pitched_kernel(*refs, n_tiles, bw):
             jnp.where(i == last, xm[rows - 3 : rows - 2], xn[0, 0, 1:2]),
         ]
         x = jnp.concatenate(above + [xm] + below, axis=0)  # (hp, nbx)
-        xb = x.astype(jnp.int32).astype(jnp.bfloat16)
-        p = jax.lax.dot_general(
-            xb,
-            m_refs[j][...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        hf = p if hf is None else hf + p
-    hf = hf.astype(jnp.int32)  # (hp, out_w) exact ints <= 4080
+        xbs.append(x.astype(jnp.int32).astype(jnp.bfloat16))
+
+    hf_parts = []
+    for wi, (_, _, klb, starts) in enumerate(wins_b):
+        acc = None
+        for j in range(bw):
+            p = jax.lax.dot_general(
+                xbs[j][:, starts[j] : starts[j] + klb],
+                m_refs[wi][j],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = p if acc is None else acc + p
+        hf_parts.append(acc)
+    hf = (
+        hf_parts[0]
+        if len(hf_parts) == 1
+        else jnp.concatenate(hf_parts, axis=1)
+    ).astype(jnp.int32)  # (hp, out_w) exact ints <= 4080
+    out_w = hf.shape[1]
 
     half = hp // 2
     pairs = hf.reshape(half, 2, out_w)
@@ -431,10 +447,31 @@ def pyr_down_mxu_pitched_pallas(y8: jnp.ndarray) -> jnp.ndarray:
     rt = _row_tile(out_h)
     n_tiles = out_h // rt
 
+    # banded per-j filter stacks: for output-column window
+    # [j0, j0+jn) the spatial band reads source rows [lo, lo+klen);
+    # subplane j's rows are the x-blocks b with b*bw + j in that range.
+    # All j share one padded band depth K per window (zero rows add
+    # exact zeros); lane starts clamp so the in-kernel static slice
+    # stays in range, with the band rows offset to compensate.
     m = _band_filter_matrix(w, 0, w, 0, w // 2).astype(np.float32)
-    m_js = [
-        jnp.asarray(m[j::bw], jnp.bfloat16) for j in range(bw)
-    ]  # (nbx, out_w) each
+    wins = _col_windows(w)
+    wins_b = []
+    m_stacks = []
+    for lo, klen, j0, jn in wins:
+        p0s = [(j - lo) % bw for j in range(bw)]
+        klbs = [-(-(klen - p0) // bw) for p0 in p0s]
+        klb = max(klbs)
+        starts = []
+        stack = np.zeros((bw, klb, jn), np.float32)
+        for j in range(bw):
+            blo = (lo + p0s[j]) // bw
+            s = min(blo, nbx - klb)
+            off = blo - s
+            for k in range(klbs[j]):
+                stack[j, off + k] = m[(blo + k) * bw + j, j0 : j0 + jn]
+            starts.append(s)
+        wins_b.append((j0, jn, klb, tuple(starts)))
+        m_stacks.append(jnp.asarray(stack, jnp.bfloat16))
 
     nblk8 = h // 8
     main_spec = lambda j: pl.BlockSpec(  # noqa: E731
@@ -460,15 +497,21 @@ def pyr_down_mxu_pitched_pallas(y8: jnp.ndarray) -> jnp.ndarray:
         ),
         memory_space=pltpu.VMEM,
     )
-    m_spec = pl.BlockSpec(
-        (nbx, out_w), lambda ti, i: (0, 0), memory_space=pltpu.VMEM
-    )
     in_specs = []
     for j in range(bw):
         in_specs += [prev_spec(j), main_spec(j), next_spec(j)]
-    in_specs += [m_spec] * bw
+    in_specs += [
+        pl.BlockSpec(
+            (bw, klb, jn), lambda ti, i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for (_, jn, klb, _) in wins_b
+    ]
     return pl.pallas_call(
-        _ft.partial(_pyr_mxu_pitched_kernel, n_tiles=n_tiles, bw=bw),
+        _ft.partial(
+            _pyr_mxu_pitched_kernel,
+            n_tiles=n_tiles, bw=bw, wins_b=tuple(wins_b),
+        ),
         grid=(t, n_tiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -477,7 +520,7 @@ def pyr_down_mxu_pitched_pallas(y8: jnp.ndarray) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((t, out_h, out_w), jnp.uint8),
         interpret=(jax.default_backend() == "cpu"),
-    )(*([y8] * (3 * bw)), *m_js)
+    )(*([y8] * (3 * bw)), *m_stacks)
 
 
 def pallas_pyr_mxu_pitched_supported(
