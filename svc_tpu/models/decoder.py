@@ -256,15 +256,21 @@ class Decoder:
                 # routes depending on which resize axes are identities
                 if x_ident and h.frame_h == ph:
                     # both axes identities (zero frame excess — e.g.
-                    # 4K): the display round/clip fuses into the IDCT
-                    # kernel itself (u8 output, quarter the write
-                    # traffic) and the "resize" disappears — only the
-                    # combined gather remains
+                    # 4K): the display round/clip AND the j-major
+                    # channel interleave fuse into the IDCT kernel
+                    # (u8 merged-minor output, quarter the write
+                    # traffic), the "resize" disappears, and the
+                    # packed tail is ONE swapaxes relayout instead of
+                    # the 3-axis gather (same trick/measurement as the
+                    # fused resample route below)
                     rows_u8 = idct_wire_to_pitched_pallas(
                         coeffs, steps, channels, tbh, tbw,
-                        emit_u8=True, channel_minor=True,
-                    )  # (T, PH, C, bw, nbx) uint8
-                    return gather_packed(rows_u8)
+                        merged_minor=True,
+                    )  # (T, PH, bw*C, nbx) uint8, j-major
+                    return jnp.swapaxes(rows_u8, 2, 3).reshape(
+                        rows_u8.shape[0], h.frame_h,
+                        h.frame_w * channels,
+                    )
                 elif x_ident:
                     # width-aligned geometry (frame_w == padded width —
                     # every mv-block-divisible width, incl. CIF/1080p):

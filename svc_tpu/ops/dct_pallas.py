@@ -480,6 +480,24 @@ def _inv_pair_stage_weights(block_w: int, block_h: int):
     return u1p, u2p
 
 
+def _jmajor_perm(channels: int, bh: int, bw: int) -> np.ndarray:
+    """(bh*bw*C, C*bh*bw) 0/1 j-major sublane interleave: out row
+    ``r*bw*C + j*C + c`` reads in row ``c*bh*bw + r*bw + j``. Applied as
+    one bf16 MXU dot AFTER the display round/clip (which commutes with a
+    permutation): all values are exact 0..255 integers, each output row
+    has exactly one nonzero product — bit-exact."""
+    n = bh * bw
+    perm = np.zeros((n * channels, channels * n), np.float32)
+    for c_i in range(channels):
+        for r_i in range(bh):
+            for j_i in range(bw):
+                perm[
+                    r_i * bw * channels + j_i * channels + c_i,
+                    c_i * n + r_i * bw + j_i,
+                ] = 1.0
+    return perm
+
+
 def _make_wire_idct_kernel(
     channels: int,
     pairs_per_step: int,
@@ -489,8 +507,13 @@ def _make_wire_idct_kernel(
     bw: int,
     emit_u8: bool = False,
     channel_minor: bool = False,
+    merged_minor: bool = False,
 ):
-    def kernel(u1_ref, u2_ref, ident_ref, c_ref, s_ref, o_ref):
+    def kernel(u1_ref, u2_ref, ident_ref, *rest):
+        if merged_minor:
+            perm_ref, c_ref, s_ref, o_ref = rest
+        else:
+            c_ref, s_ref, o_ref = rest
         u1 = u1_ref[...]
         u2 = u2_ref[...]
         ident = ident_ref[...]
@@ -512,6 +535,7 @@ def _make_wire_idct_kernel(
                 )  # (nbx, 1)
                 y = c / s
                 rows.append(jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s)
+            vcollect = ([], []) if merged_minor else None
             for ch in range(channels):
                 # two block rows of one channel on the contraction axis
                 g = jnp.concatenate(
@@ -531,6 +555,13 @@ def _make_wire_idct_kernel(
                 )  # (2n, nbx)
                 for v in (0, 1):
                     val = xt[v * n : (v + 1) * n].reshape(bh, bw, nbx)
+                    if merged_minor:
+                        # round/clip first (commutes with the j-major
+                        # permutation dot below)
+                        vcollect[v].append(
+                            jnp.clip(jnp.round(val), 0.0, 255.0)
+                        )
+                        continue
                     if emit_u8:
                         # display round/clip fused in (valid only when
                         # the downstream resize is a pure identity /
@@ -549,6 +580,31 @@ def _make_wire_idct_kernel(
                         o_ref[0, 2 * u + v, :, ch] = val
                     else:
                         o_ref[0, ch, 2 * u + v] = val
+            if merged_minor:
+                # j-major sublane interleave on the MXU (see
+                # _jmajor_perm / the resample kernel's identical trick):
+                # the packed display tail is then one swapaxes relayout
+                # instead of a 3-axis gather
+                for v in (0, 1):
+                    if channels == 1:
+                        q = vcollect[v][0].reshape(bh, bw, nbx)
+                    else:
+                        stackc = jnp.concatenate(
+                            [
+                                x.reshape(n, nbx)
+                                for x in vcollect[v]
+                            ],
+                            axis=0,
+                        )  # (C*n, nbx), rows c*n + r*bw + j — free
+                        q = jax.lax.dot_general(
+                            perm_ref[...],
+                            stackc.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).reshape(bh, bw * channels, nbx)
+                    o_ref[0, 2 * u + v] = q.astype(jnp.int32).astype(
+                        jnp.uint8
+                    )
 
     return kernel
 
@@ -561,6 +617,7 @@ def idct_wire_to_pitched_pallas(
     block_w: int,
     emit_u8: bool = False,
     channel_minor: bool = False,
+    merged_minor: bool = False,
 ) -> jnp.ndarray:
     """Fused dequantize + inverse blockwise DCT into column-pitched planes.
 
@@ -580,7 +637,13 @@ def idct_wire_to_pitched_pallas(
     ``col_map``). ``channel_minor`` moves the channel axis to just above
     ``(bw, nbx)`` — ``(T, nby*bh, C, bw, nbx)`` — so the display tail can
     un-pitch and interleave in a single lane gather over the contiguous
-    per-row ``(C, bw, nbx)`` block.
+    per-row ``(C, bw, nbx)`` block. ``merged_minor`` (implies u8) emits
+    ``(T, nby*bh, bw*C, nbx)`` with the J-MAJOR merged sublane minor
+    (position ``(j*C + c, x)`` = channel ``c`` of spatial column
+    ``x*bw + j``, via the in-kernel bf16 permutation dot): packed display
+    rows are then one ``swapaxes`` + minor flatten — the identity-resize
+    display route's tail drops from a 3-axis gather to a single relayout
+    (same trick and measurements as ``idct_wire_resample_pallas``).
     """
     t, nby, nbx, cn = coeffs.shape
     n = block_h * block_w
@@ -598,13 +661,23 @@ def idct_wire_to_pitched_pallas(
     kernel = _make_wire_idct_kernel(
         channels, r // 2, n, nbx, block_h, block_w,
         emit_u8=emit_u8, channel_minor=channel_minor,
+        merged_minor=merged_minor,
     )
-    out_dtype = jnp.uint8 if emit_u8 else jnp.float32
+    out_dtype = jnp.uint8 if (emit_u8 or merged_minor) else jnp.float32
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
     mspec = pl.BlockSpec(
         (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
     )
-    if channel_minor:
+    if merged_minor:
+        out_spec = pl.BlockSpec(
+            (1, r, block_h, channels * block_w, nbx),
+            lambda ti, yi: (ti, yi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (t, nby, block_h, channels * block_w, nbx), out_dtype
+        )
+    elif channel_minor:
         out_spec = pl.BlockSpec(
             (1, r, block_h, channels, block_w, nbx),
             lambda ti, yi: (ti, yi, 0, 0, 0, 0),
@@ -622,6 +695,19 @@ def idct_wire_to_pitched_pallas(
         out_shape = jax.ShapeDtypeStruct(
             (t, channels, nby, block_h, block_w, nbx), out_dtype
         )
+    perm_specs = []
+    perm_args = []
+    if merged_minor:
+        perm_specs = [
+            pl.BlockSpec(
+                (n * channels, channels * n), lambda ti, yi: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        perm_args = [
+            jnp.asarray(_jmajor_perm(channels, block_h, block_w),
+                        jnp.bfloat16)
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(t, nby // r),
@@ -632,6 +718,9 @@ def idct_wire_to_pitched_pallas(
                 (nbx, nbx), lambda ti, yi: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ]
+        + perm_specs
+        + [
             pl.BlockSpec(
                 (1, r, nbx, cn), lambda ti, yi: (ti, yi, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -648,9 +737,14 @@ def idct_wire_to_pitched_pallas(
         jnp.asarray(u1p),
         jnp.asarray(u2p),
         jnp.eye(nbx, dtype=jnp.float32),
+        *perm_args,
         coeffs,
         steps_grp,
     )
+    if merged_minor:
+        return out.reshape(
+            t, nby * block_h, channels * block_w, nbx
+        )
     if channel_minor:
         return out.reshape(
             t, nby * block_h, channels, block_w, nbx
@@ -938,16 +1032,7 @@ def idct_wire_resample_pallas(
         ((0, 0), (0, 0), (0, rp - r), (0, 0)),
     )
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
-    # sublane j-major interleave permutation for the in-kernel MXU dot:
-    # out row r*bw*C + j*C + c <- in row c*n + r*bw + j
-    perm_np = np.zeros((n * channels, channels * n), np.float32)
-    for c_i in range(channels):
-        for r_i in range(block_h):
-            for j_i in range(block_w):
-                perm_np[
-                    r_i * block_w * channels + j_i * channels + c_i,
-                    c_i * n + r_i * block_w + j_i,
-                ] = 1.0
+    perm_np = _jmajor_perm(channels, block_h, block_w)
     kernel = _make_wire_idct_resample_kernel(
         channels, r // 2, n, nbx, block_h, block_w, n_groups, g_rows
     )
