@@ -367,12 +367,17 @@ def leg_encode_4k():
 
 
 def leg_decode_4k():
-    fps, step, t, _, _ = _decode_fps(2160, 3840, 8, iters=6)
+    t, k = 8, 4
+    fps, step, _, chain_args, dec = _decode_fps(2160, 3840, t, iters=6)
+    chain = _make_decode_chain(dec, k)
+    chained = _chained_wall_fps(chain, chain_args, k, t, iters=3)
     res = {
         "metric": "4k_gaze_decode_fps",
-        "value": round(fps, 2),
+        "value": round(chained, 2),
         "unit": "frames/s",
-        "roofline_fraction": _roofline_fraction("decode_4k", fps),
+        "roofline_fraction": _roofline_fraction("decode_4k", chained),
+        "chain_batches_per_dispatch": k,
+        "wall_fps_per_batch_dispatch": round(fps, 2),
     }
     return _attach_device_metrics(res, "decode_4k", step)
 

@@ -174,6 +174,15 @@ def main():
     def tail_j(p):
         return p[:, :, sidx, xidx]
 
+    # I3) j-major merged minor -> ONE lax.reshape with a dimensions
+    # permutation (transpose + flatten expressed as a single HLO op —
+    # the swapaxes+reshape pair lowers as TWO copies, 0.42 + 0.29)
+    @jax.jit
+    def tail_i3(p):
+        return jax.lax.reshape(
+            p, (t, hgt, w * c), dimensions=(0, 1, 3, 2)
+        )
+
     # I2) c-major merged minor -> split + 3-d minor transpose + flatten
     # (does XLA fuse the double permutation into one relayout?)
     @jax.jit
@@ -198,6 +207,7 @@ def main():
         ("I swapaxes+reshape (j-major merged in)", tail_i, i_in),
         ("J 2-axis gather (merged-minor in)", tail_j, i_in),
         ("I2 3d-transpose+flatten (c-major in)", tail_i2, i_in),
+        ("I3 lax.reshape dims perm (j-major in)", tail_i3, i_in),
         ("K minor flatten (transposed-minor in)", tail_k, k_in),
         ("H f32 gather + fused clip (dense in)", tail_h, h_in),
         ("B single 3-axis gather (padded in)", tail_b, b_in),

@@ -534,7 +534,22 @@ def _make_wire_idct_kernel(
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (nbx, 1)
                 y = c / s
-                rows.append(jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5) * s)
+                # round-half-away dequant with BITWISE sign handling
+                # (same path as the fused resample kernel: mask ops
+                # replace abs/sign-multiply — one VPU pass fewer over
+                # the wire tensor; exact, see that kernel's comment)
+                ybits = pltpu.bitcast(y, jnp.uint32)
+                mag = pltpu.bitcast(
+                    ybits & jnp.uint32(0x7FFFFFFF), jnp.float32
+                )
+                tval = jnp.floor(mag + 0.5) * s
+                rows.append(
+                    pltpu.bitcast(
+                        pltpu.bitcast(tval, jnp.uint32)
+                        | (ybits & jnp.uint32(0x80000000)),
+                        jnp.float32,
+                    )
+                )
             vcollect = ([], []) if merged_minor else None
             for ch in range(channels):
                 # two block rows of one channel on the contraction axis
