@@ -202,6 +202,19 @@ def main():
     def tail_k(p):
         return p.reshape(t, hgt, w * c)
 
+    # L) int32-packed j-major merged minor (T, H, s/4=6, nbx): each lane
+    # holds 4 consecutive packed bytes (in-kernel arithmetic pack) ->
+    # the swapaxes relayout moves 4x fewer ELEMENTS for the same bytes;
+    # host views the (T, H, W*C/4) int32 result as packed u8 for free
+    l_in = put(
+        rng.integers(-(2**31), 2**31, (t, hgt, c * bw // 4, nbx),
+                     np.int64).astype(np.int32)
+    )
+
+    @jax.jit
+    def tail_l(p):
+        return jnp.swapaxes(p, 2, 3).reshape(t, hgt, w * c // 4)
+
     variants = [
         ("A unpitch+interleave (padded in)", tail_a, a_in),
         ("I swapaxes+reshape (j-major merged in)", tail_i, i_in),
@@ -209,6 +222,7 @@ def main():
         ("I2 3d-transpose+flatten (c-major in)", tail_i2, i_in),
         ("I3 lax.reshape dims perm (j-major in)", tail_i3, i_in),
         ("K minor flatten (transposed-minor in)", tail_k, k_in),
+        ("L int32-packed swapaxes+reshape", tail_l, l_in),
         ("H f32 gather + fused clip (dense in)", tail_h, h_in),
         ("B single 3-axis gather (padded in)", tail_b, b_in),
         ("C 4 gathers + merge (dense in)", tail_c, cd_in),

@@ -144,6 +144,23 @@ class Decoder:
 
             self._decode_batch = decode_sharded
 
+    @staticmethod
+    def packed_bytes(out) -> np.ndarray:
+        """Host uint8 view of a ``_decode_batch`` result.
+
+        The fast display routes emit packed rows as int32 WORDS (four
+        display bytes per lane, packed in-kernel — the tail relayout
+        then moves 4x fewer elements); a little-endian host view of
+        those words is exactly the packed (T, H, W*C) byte rows. The
+        remaining routes emit uint8 directly."""
+        a = np.asarray(out)
+        if a.dtype == np.int32:
+            if not a.flags["C_CONTIGUOUS"]:
+                # device_get may hand back a strided view
+                a = np.ascontiguousarray(a)
+            return a.view(np.uint8)
+        return a
+
     def stage_coeffs(self, coeffs: np.ndarray):
         """Transfer host wire coefficients into the program's own device
         layout in one H2D copy (benchmarks/pipelines that stage inputs
@@ -263,13 +280,14 @@ class Decoder:
                     # packed tail is ONE swapaxes relayout instead of
                     # the 3-axis gather (same trick/measurement as the
                     # fused resample route below)
-                    rows_u8 = idct_wire_to_pitched_pallas(
+                    rows = idct_wire_to_pitched_pallas(
                         coeffs, steps, channels, tbh, tbw,
                         merged_minor=True,
-                    )  # (T, PH, bw*C, nbx) uint8, j-major
-                    return jnp.swapaxes(rows_u8, 2, 3).reshape(
-                        rows_u8.shape[0], h.frame_h,
-                        h.frame_w * channels,
+                    )  # j-major merged minor: (T, PH, bw*C, nbx) u8,
+                    # or (T, PH, bw*C/4, nbx) int32 packed words
+                    return jnp.swapaxes(rows, 2, 3).reshape(
+                        rows.shape[0], h.frame_h,
+                        rows.shape[2] * nbx,
                     )
                 elif x_ident:
                     # width-aligned geometry (frame_w == padded width —
@@ -286,18 +304,20 @@ class Decoder:
                         channels, nby, nbx, tbh, tbw, y0, y1, fy,
                         h.frame_h,
                     ):
-                        rows_u8 = idct_wire_resample_pallas(
+                        rows = idct_wire_resample_pallas(
                             coeffs, steps, channels, tbh, tbw,
                             y0, y1, fy, h.frame_h,
-                        )  # (T, H, bw*C, nbx) — j-major merged minor
+                        )  # j-major merged minor (u8), or int32
+                        # packed words when bw*C % 4 == 0
                         # packed rows = swapaxes + minor flatten: the
                         # j-major merged layout makes the display tail
                         # ONE XLA relayout (0.71 ms/batch vs 1.36 for
-                        # every gather variant measured —
-                        # benchmarks/micro_decode_tail.py)
-                        return jnp.swapaxes(rows_u8, 2, 3).reshape(
-                            rows_u8.shape[0], h.frame_h,
-                            h.frame_w * channels,
+                        # every gather variant measured; 0.30 when the
+                        # kernel packs 4 bytes per int32 word —
+                        # benchmarks/micro_decode_tail.py I vs L)
+                        return jnp.swapaxes(rows, 2, 3).reshape(
+                            rows.shape[0], h.frame_h,
+                            rows.shape[2] * nbx,
                         )
                     pitched = idct_wire_to_pitched_pallas(
                         coeffs, steps, channels, tbh, tbw,
@@ -446,7 +466,7 @@ class Decoder:
 
         def fetch(done):
             out, n_valid = done
-            packed = np.asarray(out)[:n_valid]  # (n, H, W*C)
+            packed = self.packed_bytes(out)[:n_valid]  # (n, H, W*C)
             return packed.reshape(
                 packed.shape[0],
                 self.header.frame_h,

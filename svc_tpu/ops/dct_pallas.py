@@ -498,6 +498,40 @@ def _jmajor_perm(channels: int, bh: int, bw: int) -> np.ndarray:
     return perm
 
 
+def pack_words_supported(channels: int, bw: int) -> bool:
+    """True when the display row's merged sublane minor (bw*C) splits
+    into whole int32 words."""
+    return (bw * channels) % 4 == 0
+
+
+def _jmajor_pack_perms(channels: int, bh: int, bw: int):
+    """(P_lo, P_hi): the j-major interleave of :func:`_jmajor_perm`
+    COMPOSED with the 4-bytes-per-int32 pack, split into two exact bf16
+    matrices. Out row ``r*s4 + sq`` (s4 = bw*C//4 packed words per
+    column group) accumulates display bytes ``s = 4*sq + b``: P_lo
+    carries bytes b in {0, 1} with weights {1, 256}, P_hi bytes {2, 3}
+    with the same weights. Each matrix's dot yields exact integers
+    <= 65535 (two u8 bytes) in f32; the kernel then combines
+    ``lo + hi * 65536`` in int32 (wrapping add/mul — the components
+    occupy disjoint bit ranges, so the bit pattern equals the packed
+    little-endian bytes, including byte-3 values >= 128 that wrap the
+    int32 negative)."""
+    n = bh * bw
+    s4 = (bw * channels) // 4
+    lo = np.zeros((bh * s4, channels * n), np.float32)
+    hi = np.zeros((bh * s4, channels * n), np.float32)
+    for c_i in range(channels):
+        for r_i in range(bh):
+            for j_i in range(bw):
+                s = j_i * channels + c_i
+                sq, b = divmod(s, 4)
+                m = (lo, lo, hi, hi)[b]
+                m[
+                    r_i * s4 + sq, c_i * n + r_i * bw + j_i
+                ] = float(256 ** (b % 2))
+    return lo, hi
+
+
 def _make_wire_idct_kernel(
     channels: int,
     pairs_per_step: int,
@@ -509,8 +543,13 @@ def _make_wire_idct_kernel(
     channel_minor: bool = False,
     merged_minor: bool = False,
 ):
+    pack = merged_minor and pack_words_supported(channels, bw)
+    s4 = (bw * channels) // 4 if pack else None
+
     def kernel(u1_ref, u2_ref, ident_ref, *rest):
-        if merged_minor:
+        if pack:
+            plo_ref, phi_ref, c_ref, s_ref, o_ref = rest
+        elif merged_minor:
             perm_ref, c_ref, s_ref, o_ref = rest
         else:
             c_ref, s_ref, o_ref = rest
@@ -599,11 +638,17 @@ def _make_wire_idct_kernel(
                 # j-major sublane interleave on the MXU (see
                 # _jmajor_perm / the resample kernel's identical trick):
                 # the packed display tail is then one swapaxes relayout
-                # instead of a 3-axis gather
+                # instead of a 3-axis gather; with `pack`, the 4-byte
+                # int32 word pack folds into the same dots
+                # (_jmajor_pack_perms) and the relayout moves 4x fewer
+                # elements
                 for v in (0, 1):
-                    if channels == 1:
-                        q = vcollect[v][0].reshape(bh, bw, nbx)
-                    else:
+                    stackc = (
+                        vcollect[v][0].reshape(n, nbx)
+                        if channels > 1 or pack
+                        else None
+                    )
+                    if channels > 1:
                         stackc = jnp.concatenate(
                             [
                                 x.reshape(n, nbx)
@@ -611,6 +656,26 @@ def _make_wire_idct_kernel(
                             ],
                             axis=0,
                         )  # (C*n, nbx), rows c*n + r*bw + j — free
+                    if pack:
+                        sb = stackc.astype(jnp.bfloat16)
+                        lo = jax.lax.dot_general(
+                            plo_ref[...], sb,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        hi = jax.lax.dot_general(
+                            phi_ref[...], sb,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        o_ref[0, 2 * u + v] = (
+                            lo.astype(jnp.int32)
+                            + hi.astype(jnp.int32) * 65536
+                        ).reshape(bh, s4, nbx)
+                        continue
+                    if channels == 1:
+                        q = vcollect[v][0].reshape(bh, bw, nbx)
+                    else:
                         q = jax.lax.dot_general(
                             perm_ref[...],
                             stackc.astype(jnp.bfloat16),
@@ -678,19 +743,25 @@ def idct_wire_to_pitched_pallas(
         emit_u8=emit_u8, channel_minor=channel_minor,
         merged_minor=merged_minor,
     )
+    pack = merged_minor and pack_words_supported(channels, block_w)
     out_dtype = jnp.uint8 if (emit_u8 or merged_minor) else jnp.float32
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
     mspec = pl.BlockSpec(
         (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
     )
     if merged_minor:
+        out_minor = (
+            (block_w * channels) // 4 if pack else channels * block_w
+        )
+        if pack:
+            out_dtype = jnp.int32
         out_spec = pl.BlockSpec(
-            (1, r, block_h, channels * block_w, nbx),
+            (1, r, block_h, out_minor, nbx),
             lambda ti, yi: (ti, yi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (t, nby, block_h, channels * block_w, nbx), out_dtype
+            (t, nby, block_h, out_minor, nbx), out_dtype
         )
     elif channel_minor:
         out_spec = pl.BlockSpec(
@@ -713,15 +784,25 @@ def idct_wire_to_pitched_pallas(
     perm_specs = []
     perm_args = []
     if merged_minor:
+        if pack:
+            plo, phi = _jmajor_pack_perms(channels, block_h, block_w)
+            perm_args = [
+                jnp.asarray(plo, jnp.bfloat16),
+                jnp.asarray(phi, jnp.bfloat16),
+            ]
+        else:
+            perm_args = [
+                jnp.asarray(
+                    _jmajor_perm(channels, block_h, block_w),
+                    jnp.bfloat16,
+                )
+            ]
         perm_specs = [
             pl.BlockSpec(
-                (n * channels, channels * n), lambda ti, yi: (0, 0),
+                p.shape, lambda ti, yi: (0, 0),
                 memory_space=pltpu.VMEM,
             )
-        ]
-        perm_args = [
-            jnp.asarray(_jmajor_perm(channels, block_h, block_w),
-                        jnp.bfloat16)
+            for p in perm_args
         ]
     out = pl.pallas_call(
         kernel,
@@ -757,9 +838,7 @@ def idct_wire_to_pitched_pallas(
         steps_grp,
     )
     if merged_minor:
-        return out.reshape(
-            t, nby * block_h, channels * block_w, nbx
-        )
+        return out.reshape(t, nby * block_h, out_minor, nbx)
     if channel_minor:
         return out.reshape(
             t, nby * block_h, channels, block_w, nbx
@@ -797,14 +876,19 @@ def _make_wire_idct_resample_kernel(
     bw: int,
     n_groups: int,
     g_rows: int,
+    pack: bool,
 ):
+    s4 = (bw * channels) // 4 if pack else None
+
     def kernel(
         a_ref, jmp_ref,  # SMEM per-chunk tables (n_out, g_rows//bh)
         f_ref,  # VMEM per-row weights block (1, g_rows, 128)
-        u1_ref, u2_ref, ident_ref, perm_ref, c_ref, s_ref,
-        o_ref,
-        win_ref,  # (C, 2*g_rows + bh, bw, nbx) f32 sliding window
+        u1_ref, u2_ref, ident_ref, *rest,
     ):
+        if pack:
+            plo_ref, phi_ref, c_ref, s_ref, o_ref, win_ref = rest
+        else:
+            perm_ref, c_ref, s_ref, o_ref, win_ref = rest
         yi = pl.program_id(1)
         u1 = u1_ref[...]
         u2 = u2_ref[...]
@@ -924,22 +1008,50 @@ def _make_wire_idct_resample_kernel(
                             255.0,
                         )
                     )
-                if channels == 1:
-                    v = vals[0]
-                else:
-                    stackc = jnp.concatenate(
+                stackc = (
+                    vals[0].reshape(bh * bw, nbx)
+                    if channels == 1
+                    else jnp.concatenate(
                         [x.reshape(bh * bw, nbx) for x in vals],
                         axis=0,
                     )  # (C*bh*bw, nbx), rows c*n + r*bw + j — free
+                )
+                if pack:
+                    # interleave + 4-byte int32 pack in the same dots
+                    # (see _jmajor_pack_perms): the downstream swapaxes
+                    # relayout then moves 4x fewer elements for the
+                    # same bytes (0.30 vs 0.71 ms/batch at 1080p,
+                    # micro_decode_tail variant L)
+                    sb = stackc.astype(jnp.bfloat16)
+                    lo = jax.lax.dot_general(
+                        plo_ref[...], sb,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    hi = jax.lax.dot_general(
+                        phi_ref[...], sb,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    words = (
+                        lo.astype(jnp.int32)
+                        + hi.astype(jnp.int32) * 65536
+                    ).reshape(bh, s4, nbx)
+                    o_ref[0, q * bh : (q + 1) * bh] = words
+                elif channels == 1:
+                    o_ref[0, q * bh : (q + 1) * bh] = (
+                        vals[0].astype(jnp.int32).astype(jnp.uint8)
+                    )
+                else:
                     v = jax.lax.dot_general(
                         perm_ref[...],
                         stackc.astype(jnp.bfloat16),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).reshape(bh, bw * channels, nbx)
-                o_ref[0, q * bh : (q + 1) * bh] = v.astype(
-                    jnp.int32
-                ).astype(jnp.uint8)
+                    o_ref[0, q * bh : (q + 1) * bh] = v.astype(
+                        jnp.int32
+                    ).astype(jnp.uint8)
 
     return kernel
 
@@ -1047,9 +1159,25 @@ def idct_wire_resample_pallas(
         ((0, 0), (0, 0), (0, rp - r), (0, 0)),
     )
     u1p, u2p = _inv_pair_stage_weights(block_w, block_h)
-    perm_np = _jmajor_perm(channels, block_h, block_w)
+    pack = pack_words_supported(channels, block_w)
+    if pack:
+        plo, phi = _jmajor_pack_perms(channels, block_h, block_w)
+        perms = [
+            jnp.asarray(plo, jnp.bfloat16),
+            jnp.asarray(phi, jnp.bfloat16),
+        ]
+        s4 = (block_w * channels) // 4
+        out_minor, out_dtype = s4, jnp.int32
+    else:
+        perms = [
+            jnp.asarray(
+                _jmajor_perm(channels, block_h, block_w), jnp.bfloat16
+            )
+        ]
+        out_minor, out_dtype = channels * block_w, jnp.uint8
     kernel = _make_wire_idct_resample_kernel(
-        channels, r // 2, n, nbx, block_h, block_w, n_groups, g_rows
+        channels, r // 2, n, nbx, block_h, block_w, n_groups, g_rows,
+        pack,
     )
     mspec = pl.BlockSpec(
         (2 * n, 2 * n), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
@@ -1075,10 +1203,15 @@ def idct_wire_resample_pallas(
                 (nbx, nbx), lambda ti, yi: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ]
+        + [
             pl.BlockSpec(
-                (n * channels, channels * n), lambda ti, yi: (0, 0),
+                p.shape, lambda ti, yi: (0, 0),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+            for p in perms
+        ]
+        + [
             pl.BlockSpec((1, r, nbx, cn), grp_clamp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -1088,7 +1221,7 @@ def idct_wire_resample_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, g_rows, channels * block_w, nbx),
+            (1, g_rows, out_minor, nbx),
             lambda ti, yi: (ti, jnp.maximum(yi - 1, 0), 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -1096,7 +1229,7 @@ def idct_wire_resample_pallas(
         # by the non-divisible block (a caller-side [:, :out_h] slice
         # materialized a 0.77 ms/batch copy at 1080p)
         out_shape=jax.ShapeDtypeStruct(
-            (t, out_h, channels * block_w, nbx), jnp.uint8
+            (t, out_h, out_minor, nbx), out_dtype
         ),
         scratch_shapes=[
             # 2 groups + bh pad rows (the fixed-size chunk load may
@@ -1115,7 +1248,7 @@ def idct_wire_resample_pallas(
         jnp.asarray(u1p),
         jnp.asarray(u2p),
         jnp.eye(nbx, dtype=jnp.float32),
-        jnp.asarray(perm_np, dtype=jnp.bfloat16),
+        *perms,
         coeffs,
         steps_grp,
     )

@@ -66,7 +66,8 @@ def test_pallas_route_matches_xla_fallback(w, h, ew, eh, monkeypatch):
     rects = np.tile(np.array([[w // 4, h // 4, 64, 32]], np.int32), (t, 1))
 
     dec = dec_mod.Decoder(DecoderConfig(), hdr, batch_size=t)
-    got = np.asarray(dec._decode_batch(coeffs, btypes, rects))
+    # fast routes may emit int32-packed display words; normalize to bytes
+    got = dec_mod.Decoder.packed_bytes(dec._decode_batch(coeffs, btypes, rects))
 
     monkeypatch.setattr(
         dec_mod, "pallas_wire_idct_supported", lambda *a: False
@@ -109,13 +110,15 @@ def test_two_kernel_fallback_route_matches_fused(monkeypatch):
     rects = np.tile(np.array([[w // 4, h // 4, 64, 32]], np.int32), (t, 1))
 
     dec = dec_mod.Decoder(DecoderConfig(), hdr, batch_size=t)
-    fused = np.asarray(dec._decode_batch(coeffs, btypes, rects))
+    fused = dec_mod.Decoder.packed_bytes(dec._decode_batch(coeffs, btypes, rects))
 
     monkeypatch.setattr(
         dec_mod, "pallas_wire_idct_resample_supported", lambda *a: False
     )
     dec_fb = dec_mod.Decoder(DecoderConfig(), hdr, batch_size=t)
-    fallback = np.asarray(dec_fb._decode_batch(coeffs, btypes, rects))
+    fallback = dec_mod.Decoder.packed_bytes(
+        dec_fb._decode_batch(coeffs, btypes, rects)
+    )
 
     diff = np.abs(fused.astype(np.int32) - fallback.astype(np.int32))
     assert diff.max() <= 1
