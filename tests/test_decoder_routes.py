@@ -123,3 +123,29 @@ def test_two_kernel_fallback_route_matches_fused(monkeypatch):
     diff = np.abs(fused.astype(np.int32) - fallback.astype(np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 1e-3
+
+
+def test_fast_routes_emit_packed_words():
+    """The zero-excess and width-aligned fast routes must emit
+    int32-PACKED display words (4 bytes per lane, packed in-kernel):
+    a silent regression to the uint8 emit would cost the 0.71-vs-0.30
+    ms/batch tail relayout difference without failing any value test."""
+    from svc_tpu.models import decoder as dec_mod
+
+    rng = np.random.default_rng(3)
+    for w, h, ew, eh in [(256, 64, 0, 0), (256, 56, 0, 8)]:
+        hdr = _header(w, h, ew, eh)
+        t = 2
+        nby = hdr.padded_frame_h // 8
+        nbx = hdr.padded_frame_w // 8
+        coeffs = (rng.normal(size=(t, nby, nbx, 192)) * 90).astype(
+            np.float32
+        )
+        btypes = rng.integers(0, 3, (t, nby, nbx)).astype(np.uint32)
+        rects = np.tile(
+            np.array([[w // 4, h // 4, 64, 32]], np.int32), (t, 1)
+        )
+        dec = dec_mod.Decoder(DecoderConfig(), hdr, batch_size=t)
+        out = dec._decode_batch(coeffs, btypes, rects)
+        assert np.asarray(out).dtype == np.int32, (w, h, ew, eh)
+        assert dec_mod.Decoder.packed_bytes(out).shape == (t, h, w * 3)
